@@ -8,8 +8,6 @@ virtual devices; the same code path then runs unchanged on a real TPU slice.
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # Never touch the network in tests.
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+# This image's sitecustomize imports jax at interpreter startup and registers
+# the axon TPU backend, so env-var selection (JAX_PLATFORMS) is already
+# latched; switch the platform through the live config instead.  Backends are
+# initialized lazily, so the XLA_FLAGS set above still yields 8 virtual CPU
+# devices.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
