@@ -1,0 +1,44 @@
+"""Model builders wired to the Config.
+
+Mirrors the construction sites in the reference: ``condGANTrainer.build_models``
+(trainer.py:73-160) picks G_NET/G_DCGAN and one discriminator per branch;
+here the same selection is a pure function of the config.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax.numpy as jnp
+
+from t2igan.config import Config
+from t2igan.models.discriminator import DNetWithHeads
+from t2igan.models.generator import GDCGan, GNet
+
+
+def build_generator(cfg: Config, dtype: Any = jnp.float32):
+    cls = GDCGan if cfg.GAN.B_DCGAN else GNet
+    return cls(
+        gf_dim=cfg.GAN.GF_DIM,
+        nef=cfg.TEXT.EMBEDDING_DIM,
+        condition_dim=cfg.GAN.CONDITION_DIM,
+        branch_num=cfg.TREE.BRANCH_NUM,
+        num_residual=cfg.GAN.R_NUM,
+        dtype=dtype,
+    )
+
+
+def build_discriminators(cfg: Config, dtype: Any = jnp.float32
+                         ) -> List[DNetWithHeads]:
+    """One discriminator per pyramid branch (trainer.py:104-111); under
+    B_DCGAN only the finest-scale D with no unconditional head
+    (trainer.py:93-102)."""
+    if cfg.GAN.B_DCGAN:
+        return [DNetWithHeads(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM,
+                              img_size=cfg.final_size, b_jcu=False,
+                              dtype=dtype)]
+    return [
+        DNetWithHeads(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM,
+                      img_size=size, b_jcu=True, dtype=dtype)
+        for size in cfg.branch_sizes
+    ]

@@ -1,0 +1,276 @@
+"""Cascaded DM-GAN generator (64 -> 128 -> 256 px) with dynamic memory.
+
+Parity targets in the reference ``model.py``:
+
+* ``GLU`` / ``upBlock`` / ``ResBlock``          — model.py:82-136
+* ``CA_NET`` conditioning augmentation          — model.py:333-361
+* ``INIT_STAGE_G``                              — model.py:364-403
+* ``Memory`` read                               — model.py:406-452
+* ``NEXT_STAGE_G`` (write/read/response gates)  — model.py:455-533
+* ``GET_IMAGE_G``                               — model.py:536-547
+* ``G_NET`` / ``G_DCGAN``                       — model.py:550-641
+
+TPU-first design decisions:
+* NHWC layout (XLA's native conv layout on TPU); word sequences are
+  ``[B, L, D]`` and the reference's k=1 ``Conv1d``s become ``Dense`` layers —
+  identical math, better MXU mapping;
+* static shapes everywhere: caption masks are carried, caption-length sorting
+  is unnecessary;
+* ``Memory``'s masked-softmax read is a batched einsum
+  (:func:`t2igan.ops.attention.memory_read`) with per-sample masks — the
+  reference's mask-tiling misalignment (model.py:438) and inverted mask
+  polarity (trainer.py:317 passes ``attention_mask`` where the module
+  expects a padding mask) are fixed to the documented intent;
+* all hyperparameters arrive via module attributes from the Config, so the
+  jitted graphs are fully static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from t2igan.ops.attention import memory_read
+from t2igan.ops.image import upsample_nearest_2x
+
+Array = jnp.ndarray
+
+ortho = jax.nn.initializers.orthogonal
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    """BatchNorm scale ~ N(1, 0.02) (weights_init, miscc/utils.py:340-342)."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+def glu(x: Array, axis: int = -1) -> Array:
+    """Gated linear unit over channels: ``a * sigmoid(b)`` (model.py:82-90)."""
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch-parity defaults (momentum 0.1, eps 1e-5) and the
+    reference's N(1, 0.02) scale init."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            scale_init=bn_scale_init, dtype=self.dtype)(x)
+
+
+class UpBlock(nn.Module):
+    """2x nearest upsample + conv3x3 -> 2C + BN + GLU (model.py:104-110)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = upsample_nearest_2x(x)
+        x = nn.Conv(self.features * 2, (3, 3), padding=1, use_bias=False,
+                    kernel_init=ortho(), dtype=self.dtype)(x)
+        x = BatchNorm(self.dtype)(x, train)
+        return glu(x)
+
+
+class ResBlock(nn.Module):
+    """conv3x3->2C + BN + GLU + conv3x3->C + BN, residual (model.py:122-136)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h = nn.Conv(self.features * 2, (3, 3), padding=1, use_bias=False,
+                    kernel_init=ortho(), dtype=self.dtype)(x)
+        h = BatchNorm(self.dtype)(h, train)
+        h = glu(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    kernel_init=ortho(), dtype=self.dtype)(h)
+        h = BatchNorm(self.dtype)(h, train)
+        return x + h
+
+
+class CANet(nn.Module):
+    """Conditioning augmentation: sentence embedding -> (c, mu, logvar)
+    (model.py:333-361)."""
+
+    condition_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, sent_emb: Array, eps: Optional[Array] = None):
+        x = nn.Dense(self.condition_dim * 4, kernel_init=ortho(),
+                     dtype=self.dtype)(sent_emb)
+        x = glu(x)
+        mu, logvar = x[:, :self.condition_dim], x[:, self.condition_dim:]
+        if eps is None:
+            eps = jax.random.normal(self.make_rng("gaussian"), mu.shape,
+                                    dtype=mu.dtype)
+        c_code = mu + jnp.exp(0.5 * logvar) * eps
+        return c_code, mu, logvar
+
+
+class InitStageG(nn.Module):
+    """z + c -> [B, 64, 64, ngf] seed feature map (model.py:364-403)."""
+
+    ngf: int  # = GF_DIM * 16 at this stage, matching the reference
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_code: Array, c_code: Array, train: bool):
+        x = jnp.concatenate([c_code, z_code], axis=-1)
+        x = nn.Dense(self.ngf * 4 * 4 * 2, use_bias=False,
+                     kernel_init=ortho(), dtype=self.dtype)(x)
+        x = BatchNorm(self.dtype)(x, train)
+        x = glu(x)
+        # torch reshapes channel-first to (B, ngf, 4, 4); NHWC equivalent:
+        x = x.reshape(x.shape[0], self.ngf, 4, 4).transpose(0, 2, 3, 1)
+        for i in range(4):
+            x = UpBlock(self.ngf // (2 ** (i + 1)), self.dtype)(x, train)
+        return x  # [B, 64, 64, ngf/16]
+
+
+class NextStageG(nn.Module):
+    """Dynamic-memory refinement stage (model.py:455-533).
+
+    Memory WRITE: per-word gate mixing word features against the pooled image
+    state; READ: pixel-wise masked attention over key/value projections;
+    RESPONSE: per-pixel gate blending the read-out into the image features;
+    then R_NUM residual blocks and a 2x upsample.
+    """
+
+    ngf: int
+    nef: int
+    num_residual: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h_code: Array, word_embs: Array,
+                 pad_mask: Optional[Array], train: bool):
+        """h_code: [B, H, W, ngf]; word_embs: [B, L, nef];
+        pad_mask: [B, L] bool, True at padding slots."""
+        b, hh, ww, c = h_code.shape
+        L = word_embs.shape[1]
+
+        # --- Memory writing (model.py:508-517) ---
+        # Pooled image state, detached as in the reference (model.py:510).
+        h_avg = jax.lax.stop_gradient(jnp.mean(h_code, axis=(1, 2)))  # [B, ngf]
+        gate_w = nn.Dense(1, use_bias=False, kernel_init=ortho(),
+                          dtype=self.dtype, name="A")(word_embs)      # [B, L, 1]
+        gate_h = nn.Dense(1, use_bias=False, kernel_init=ortho(),
+                          dtype=self.dtype, name="B")(h_avg)          # [B, 1]
+        writing_gate = jax.nn.sigmoid(gate_w + gate_h[:, None, :])    # [B, L, 1]
+        m_w = nn.relu(nn.Dense(self.ngf * 2, kernel_init=ortho(),
+                               dtype=self.dtype, name="M_w")(word_embs))
+        m_r = nn.relu(nn.Dense(self.ngf * 2, kernel_init=ortho(),
+                               dtype=self.dtype, name="M_r")(h_avg))  # [B, 2ngf]
+        memory = m_w * writing_gate + m_r[:, None, :] * (1.0 - writing_gate)
+
+        # --- Key addressing / value reading (model.py:519-523) ---
+        key = nn.relu(nn.Dense(self.ngf, kernel_init=ortho(),
+                               dtype=self.dtype, name="key")(memory))
+        value = nn.relu(nn.Dense(self.ngf, kernel_init=ortho(),
+                                 dtype=self.dtype, name="value")(memory))
+        mem_out, attn = memory_read(h_code, key, value, pad_mask)
+
+        # --- Key response (model.py:526-528) ---
+        gate_in = jnp.concatenate([h_code, mem_out], axis=-1)
+        response_gate = jax.nn.sigmoid(
+            nn.Conv(1, (1, 1), kernel_init=ortho(), dtype=self.dtype,
+                    name="response_gate")(gate_in))
+        h_new = h_code * (1.0 - response_gate) + response_gate * mem_out
+        h_new = jnp.concatenate([h_new, h_new], axis=-1)  # channel-duplicate
+
+        for i in range(self.num_residual):
+            h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
+        out = UpBlock(self.ngf, self.dtype)(h_new, train)
+        return out, attn.reshape(b, hh, ww, L)
+
+
+class GetImageG(nn.Module):
+    """Feature map -> RGB in [-1, 1] (model.py:536-547)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h_code: Array):
+        x = nn.Conv(3, (3, 3), padding=1, use_bias=False,
+                    kernel_init=ortho(), dtype=self.dtype)(h_code)
+        return jnp.tanh(x)
+
+
+class GNet(nn.Module):
+    """Cascaded generator (model.py:550-597).
+
+    Attributes follow the config: ``gf_dim`` = GAN.GF_DIM, ``nef`` =
+    TEXT.EMBEDDING_DIM, ``condition_dim`` = GAN.CONDITION_DIM, ``branch_num``
+    = TREE.BRANCH_NUM, ``num_residual`` = GAN.R_NUM.
+    """
+
+    gf_dim: int = 64
+    nef: int = 512
+    condition_dim: int = 512
+    branch_num: int = 3
+    num_residual: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
+                 pad_mask: Optional[Array], train: bool = True,
+                 ca_eps: Optional[Array] = None):
+        """Returns (fake_imgs, att_maps, mu, logvar).
+
+        fake_imgs: list of [B, s, s, 3] in [-1, 1] for s in (64, 128, 256);
+        att_maps: list of [B, H, W, L] memory attention maps.
+        """
+        ngf = self.gf_dim
+        fake_imgs, att_maps = [], []
+        c_code, mu, logvar = CANet(self.condition_dim, self.dtype)(
+            sent_emb, ca_eps)
+
+        h_code = InitStageG(ngf * 16, self.dtype)(z_code, c_code, train)
+        fake_imgs.append(GetImageG(self.dtype)(h_code))
+        for _ in range(1, self.branch_num):
+            h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
+                                      self.dtype)(h_code, word_embs,
+                                                  pad_mask, train)
+            fake_imgs.append(GetImageG(self.dtype)(h_code))
+            att_maps.append(attn)
+        return fake_imgs, att_maps, mu, logvar
+
+
+class GDCGan(nn.Module):
+    """Single-output DCGAN-style variant (model.py:601-641): same stages but
+    only the final RGB head."""
+
+    gf_dim: int = 64
+    nef: int = 512
+    condition_dim: int = 512
+    branch_num: int = 3
+    num_residual: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
+                 pad_mask: Optional[Array], train: bool = True,
+                 ca_eps: Optional[Array] = None):
+        ngf = self.gf_dim
+        att_maps = []
+        c_code, mu, logvar = CANet(self.condition_dim, self.dtype)(
+            sent_emb, ca_eps)
+        h_code = InitStageG(ngf * 16, self.dtype)(z_code, c_code, train)
+        for _ in range(1, self.branch_num):
+            h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
+                                      self.dtype)(h_code, word_embs,
+                                                  pad_mask, train)
+            att_maps.append(attn)
+        img = GetImageG(self.dtype)(h_code)
+        return [img], att_maps, mu, logvar

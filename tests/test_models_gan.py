@@ -1,0 +1,143 @@
+"""Generator / discriminator structural and numerical tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2igan.config import Config, cfg_replace
+from t2igan.models.discriminator import DNetWithHeads
+from t2igan.models.factory import build_discriminators, build_generator
+from t2igan.models.generator import GNet, glu
+from t2igan.ops.image import upsample_nearest_2x
+from t2igan.ops.spectral import SNConv
+
+B, L = 2, 8
+SMALL = dict(gf_dim=16, nef=24, condition_dim=20, branch_num=3,
+             num_residual=2)
+
+
+def _small_gen_inputs(rng):
+    z = jnp.asarray(rng.standard_normal((B, 100)).astype(np.float32))
+    sent = jnp.asarray(rng.standard_normal((B, 24)).astype(np.float32))
+    words = jnp.asarray(rng.standard_normal((B, L, 24)).astype(np.float32))
+    pad = jnp.asarray(np.array([[False] * 5 + [True] * 3,
+                                [False] * 7 + [True] * 1]))
+    return z, sent, words, pad
+
+
+def test_glu_matches_torch_semantics(rng):
+    import torch
+    x = rng.standard_normal((3, 10)).astype(np.float32)
+    ours = np.asarray(glu(jnp.asarray(x)))
+    t = torch.from_numpy(x)
+    ref = (t[:, :5] * torch.sigmoid(t[:, 5:])).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_upsample_nearest_2x(rng):
+    x = rng.standard_normal((1, 3, 3, 2)).astype(np.float32)
+    y = np.asarray(upsample_nearest_2x(jnp.asarray(x)))
+    assert y.shape == (1, 6, 6, 2)
+    np.testing.assert_array_equal(y[0, ::2, ::2], x[0])
+    np.testing.assert_array_equal(y[0, 1::2, ::2], x[0])
+    np.testing.assert_array_equal(y[0, ::2, 1::2], x[0])
+
+
+def test_generator_pyramid_shapes(rng):
+    model = GNet(**SMALL)
+    z, sent, words, pad = _small_gen_inputs(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+        z, sent, words, pad, train=True)
+    (imgs, atts, mu, logvar), _ = model.apply(
+        variables, z, sent, words, pad, train=True,
+        rngs={"gaussian": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"])
+    assert [i.shape for i in imgs] == [(B, 64, 64, 3), (B, 128, 128, 3),
+                                       (B, 256, 256, 3)]
+    assert atts[0].shape == (B, 64, 64, L)
+    assert atts[1].shape == (B, 128, 128, L)
+    assert mu.shape == (B, 20) and logvar.shape == (B, 20)
+    for img in imgs:
+        v = np.asarray(img)
+        assert v.min() >= -1.0 and v.max() <= 1.0
+        assert np.isfinite(v).all()
+
+
+def test_generator_memory_attention_masks_padding(rng):
+    """Padding word slots must receive ~zero memory attention."""
+    model = GNet(**SMALL)
+    z, sent, words, pad = _small_gen_inputs(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+        z, sent, words, pad, train=True)
+    (_, atts, _, _), _ = model.apply(
+        variables, z, sent, words, pad, train=True,
+        rngs={"gaussian": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"])
+    for att in atts:
+        a = np.asarray(att)  # [B, H, W, L]
+        assert a[0, :, :, 5:].max() < 1e-6  # sample 0 has 3 pad slots
+        assert a[1, :, :, 7:].max() < 1e-6
+        # rows sum to one over words
+        np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_generator_ca_eps_deterministic(rng):
+    """Passing explicit CA noise makes the forward reproducible."""
+    model = GNet(**SMALL)
+    z, sent, words, pad = _small_gen_inputs(rng)
+    eps = jnp.zeros((B, 20))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+        z, sent, words, pad, train=False, ca_eps=eps)
+    out1 = model.apply(variables, z, sent, words, pad, train=False, ca_eps=eps)
+    out2 = model.apply(variables, z, sent, words, pad, train=False, ca_eps=eps)
+    np.testing.assert_array_equal(np.asarray(out1[0][-1]),
+                                  np.asarray(out2[0][-1]))
+
+
+@pytest.mark.parametrize("size", [64, 128, 256])
+def test_discriminator_shapes(rng, size):
+    ndf, nef = 8, 24
+    model = DNetWithHeads(ndf=ndf, nef=nef, img_size=size)
+    x = jnp.asarray(rng.standard_normal((B, size, size, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((B, nef)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, c)
+    (h, cond, uncond), new_vars = model.apply(variables, x, c,
+                                              mutable=["spectral"])
+    assert h.shape == (B, 4, 4, ndf * 8)
+    assert cond.shape == (B,) and uncond.shape == (B,)
+    assert np.isfinite(np.asarray(cond)).all()
+    assert "spectral" in new_vars
+
+
+def test_spectral_norm_constrains_sigma(rng):
+    """After repeated power iterations the effective top singular value of
+    the normalized kernel approaches 1 (spectral.py:23-35 semantics)."""
+    conv = SNConv(8, (3, 3))
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    spectral = variables["spectral"]
+    for _ in range(30):
+        _, upd = conv.apply({"params": params, "spectral": spectral}, x,
+                            mutable=["spectral"])
+        spectral = upd["spectral"]
+    k = np.asarray(params["kernel"])
+    w2d = k.transpose(3, 0, 1, 2).reshape(k.shape[3], -1)
+    true_sigma = np.linalg.svd(w2d, compute_uv=False)[0]
+    u = np.asarray(spectral["u"])
+    v = np.asarray(spectral["v"])
+    est = float(u @ w2d @ v)
+    np.testing.assert_allclose(est, true_sigma, rtol=1e-3)
+
+
+def test_factory_builds_from_config():
+    cfg = cfg_replace(Config(), GAN={"GF_DIM": 64, "DF_DIM": 32})
+    g = build_generator(cfg)
+    assert g.gf_dim == 64 and g.branch_num == 3
+    ds = build_discriminators(cfg)
+    assert [d.img_size for d in ds] == [64, 128, 256]
+    assert all(d.b_jcu for d in ds)
