@@ -1,0 +1,122 @@
+"""Batching pipeline: fixed-shape collate + threaded prefetching loader.
+
+Parity target: the reference's DataLoader + ``prepare_data`` collate
+(datasets.py:28-81, wired at main.py:176-182).  The reference sorts each
+batch by caption length (descending) and returns both sort permutations so
+the trainer can unsort for the contrastive loss (trainer.py:409-415) — a
+holdover from packed-RNN ergonomics.  All attention here is mask-based, so
+batches stay in dataset order, permutations disappear, and every array in the
+batch has a static shape (required for a single jitted train step).
+
+The loader itself is a thread-pool prefetcher: PIL decode + augmentation run
+on host worker threads while the TPU consumes the previous batch (the
+reference uses torch DataLoader worker *processes*; threads suffice here
+since PIL/numpy release the GIL for the heavy ops).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from t2igan.data.tokenizer import ClipTokenizer
+
+
+@dataclass
+class Batch:
+    """One fixed-shape training batch (two caption views per image)."""
+
+    images: List[np.ndarray]            # per-branch [B, s, s, 3] float32
+    input_ids: np.ndarray               # [B, W] int32, view 1
+    attention_mask: np.ndarray          # [B, W] int32
+    input_ids_2: np.ndarray             # [B, W] int32, view 2
+    attention_mask_2: np.ndarray        # [B, W]
+    class_ids: np.ndarray               # [B] int32
+    keys: List[str]
+
+
+def collate(records, tokenizer: ClipTokenizer, words_num: int) -> Batch:
+    """Tokenize both caption views and stack the pyramid — the mask-based
+    equivalent of ``prepare_data`` (datasets.py:28-81)."""
+    n_branches = len(records[0].images)
+    images = [np.stack([r.images[b] for r in records]).astype(np.float32)
+              for b in range(n_branches)]
+    caps1 = tokenizer([r.caption for r in records], max_length=words_num)
+    caps2 = tokenizer([r.caption_2 for r in records], max_length=words_num)
+    return Batch(
+        images=images,
+        input_ids=caps1["input_ids"],
+        attention_mask=caps1["attention_mask"],
+        input_ids_2=caps2["input_ids"],
+        attention_mask_2=caps2["attention_mask"],
+        class_ids=np.asarray([r.class_id for r in records], np.int32),
+        keys=[r.key for r in records],
+    )
+
+
+class DataLoader:
+    """Shuffling, drop-last, prefetching batch iterator."""
+
+    def __init__(self, dataset, tokenizer: ClipTokenizer, batch_size: int,
+                 words_num: int, shuffle: bool = True, drop_last: bool = True,
+                 num_workers: int = 2, prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.words_num = words_num
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            yield idx[s:s + self.batch_size]
+
+    def __iter__(self) -> Iterator[Batch]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.epoch += 1
+        batches = list(self._index_batches())
+        if not batches:
+            return iter(())
+
+        def make(batch_idx):
+            records = [self.dataset[int(i)] for i in batch_idx]
+            return collate(records, self.tokenizer, self.words_num)
+
+        def gen():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = []
+                it = iter(batches)
+                for _ in range(self.prefetch + 1):
+                    try:
+                        futures.append(pool.submit(make, next(it)))
+                    except StopIteration:
+                        break
+                while futures:
+                    batch = futures.pop(0).result()
+                    try:
+                        futures.append(pool.submit(make, next(it)))
+                    except StopIteration:
+                        pass
+                    yield batch
+
+        return gen()

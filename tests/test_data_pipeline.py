@@ -1,0 +1,107 @@
+"""Data pipeline tests: collate shapes/dtypes/normalization, loader
+determinism, bbox crop math, and reference-format pickle loading."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from t2igan.config import Config, cfg_replace
+from t2igan.data.dataset import (TextImageDataset, build_pyramid,
+                                 crop_to_bbox, normalize_clip)
+from t2igan.data.pipeline import Batch, DataLoader, collate
+from t2igan.data.synthetic import SyntheticDataset
+from t2igan.data.tokenizer import ClipTokenizer
+from t2igan.ops.image import CLIP_MEAN, CLIP_STD
+
+CFG = cfg_replace(Config(), TRAIN={"BATCH_SIZE": 4},
+                  TREE={"BASE_SIZE": 16, "BRANCH_NUM": 3})
+
+
+@pytest.fixture
+def loader():
+    ds = SyntheticDataset(CFG, size=12)
+    tok = ClipTokenizer.fallback()
+    return DataLoader(ds, tok, batch_size=4, words_num=30, seed=7)
+
+
+def test_collate_shapes_and_dtypes(loader):
+    batch = next(iter(loader))
+    assert isinstance(batch, Batch)
+    assert [im.shape for im in batch.images] == [
+        (4, 16, 16, 3), (4, 32, 32, 3), (4, 64, 64, 3)]
+    assert all(im.dtype == np.float32 for im in batch.images)
+    assert batch.input_ids.shape == (4, 30)
+    assert batch.attention_mask.shape == (4, 30)
+    assert batch.input_ids_2.shape == (4, 30)
+    assert batch.class_ids.dtype == np.int32
+    assert len(batch.keys) == 4
+
+
+def test_loader_length_drop_last(loader):
+    assert len(loader) == 3  # 12 / 4
+
+
+def test_loader_yields_all_batches(loader):
+    batches = list(iter(loader))
+    assert len(batches) == 3
+    keys = [k for b in batches for k in b.keys]
+    assert len(set(keys)) == 12
+
+
+def test_two_caption_views_differ_sometimes(loader):
+    batch = next(iter(loader))
+    assert not np.array_equal(batch.input_ids, batch.input_ids_2)
+
+
+def test_normalize_clip_stats():
+    img = np.full((8, 8, 3), 255, np.uint8)
+    x = normalize_clip(img)
+    expected = (1.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(x[0, 0], expected, rtol=1e-5)
+
+
+def test_crop_to_bbox_square_padding():
+    from PIL import Image
+    img = Image.new("RGB", (200, 150))
+    # bbox [x, y, w, h]: crop is a 75%-padded square around the center
+    out = crop_to_bbox(img, [50, 40, 40, 60])
+    r = int(60 * 0.75)  # 45
+    cx, cy = (2 * 50 + 40) // 2, (2 * 40 + 60) // 2  # 70, 70
+    assert out.size == (min(200, cx + r) - max(0, cx - r),
+                        min(150, cy + r) - max(0, cy - r))
+
+
+def test_build_pyramid_sizes():
+    from PIL import Image
+    img = Image.new("RGB", (64, 64))
+    pyr = build_pyramid(img, (16, 32, 64))
+    assert [p.shape for p in pyr] == [(16, 16, 3), (32, 32, 3), (64, 64, 3)]
+
+
+def test_text_dataset_reads_reference_pickles(tmp_path):
+    """Exercise the captions.pickle legacy format (datasets.py:530-551):
+    word-index lists + ixtoword vocabulary, filenames + class_info pickles."""
+    data_dir = tmp_path / "fake"
+    (data_dir / "train").mkdir(parents=True)
+    ixtoword = {0: "<end>", 1: "red", 2: "bird", 3: "blue", 4: "wing"}
+    train_caps = [[1, 2], [3, 4], [1, 4], [3, 2]]  # 2 images x 2 caps
+    with open(data_dir / "captions.pickle", "wb") as f:
+        pickle.dump([train_caps, [], ixtoword, {}], f, protocol=2)
+    with open(data_dir / "train" / "filenames.pickle", "wb") as f:
+        pickle.dump(["img_a", "img_b"], f, protocol=2)
+    with open(data_dir / "train" / "class_info.pickle", "wb") as f:
+        pickle.dump([5, 9], f, protocol=2)
+
+    cfg = cfg_replace(CFG, DATA_DIR=str(data_dir),
+                      TEXT={"CAPTIONS_PER_IMAGE": 2})
+    ds = TextImageDataset(cfg, "train")
+    assert len(ds) == 2
+    assert ds.caption_text(0) == "red bird"
+    assert ds.caption_text(1) == "blue wing"
+    assert list(ds.class_id) == [5, 9]
+    mis = ds.mis_captions(5, n=3)
+    assert len(mis) == 3
+    assert all(m in ("red bird", "blue wing", "red wing", "blue bird")
+               for m in mis)
