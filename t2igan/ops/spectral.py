@@ -74,7 +74,7 @@ class SNConv(nn.Module):
         v = jax.lax.stop_gradient(v)
         # Persist the running estimates when the caller allows mutation
         # (training); frozen otherwise (eval), matching buffer semantics.
-        if not self.is_initializing():
+        if not self.is_initializing() and self.is_mutable_collection("spectral"):
             u_var.value = u
             v_var.value = v
         # sigma differentiates through W (numerator and denominator), as in

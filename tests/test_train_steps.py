@@ -1,0 +1,162 @@
+"""End-to-end train-step tests on tiny model configs (CPU), including the
+data-parallel sharded path on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2igan.config import Config, cfg_replace
+from t2igan.models.clip import ClipConfig, ClipTowerConfig, ClipWithRegionHead
+from t2igan.models.factory import build_discriminators, build_generator
+from t2igan.parallel.mesh import make_mesh, replicate, shard_batch
+from t2igan.train.state import (damsm_optimizer, gan_optimizers,
+                                init_damsm_state, init_gan_state)
+from t2igan.train.steps import make_damsm_step, make_gan_step
+
+TINY_CLIP = ClipConfig(
+    vocab_size=512, max_positions=16, eos_token_id=511, projection_dim=32,
+    image_size=32, patch_size=16, region_dim=32,
+    text=ClipTowerConfig(32, 2, 2, 64),
+    vision=ClipTowerConfig(48, 2, 2, 96))
+
+CFG = cfg_replace(
+    Config(),
+    TREE={"BASE_SIZE": 64, "BRANCH_NUM": 2},
+    GAN={"GF_DIM": 8, "DF_DIM": 4, "Z_DIM": 16, "CONDITION_DIM": 16,
+         "R_NUM": 1},
+    TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 16},
+    TRAIN={"BATCH_SIZE": 4})
+
+
+def _caption_batch(rng, b, l, vocab=512, eos=511):
+    ids = np.zeros((b, l), dtype=np.int32)
+    mask = np.zeros((b, l), dtype=np.int32)
+    lens = rng.integers(4, l + 1, size=b)
+    for i, n in enumerate(lens):
+        ids[i, 0] = vocab - 2
+        ids[i, 1:n - 1] = rng.integers(1, 400, n - 2)
+        ids[i, n - 1] = eos
+        ids[i, n:] = eos
+        mask[i, :n] = 1
+    return ids, mask
+
+
+def _gan_batch(rng, b=4, l=16):
+    ids, mask = _caption_batch(rng, b, l)
+    ids2, mask2 = _caption_batch(rng, b, l)
+    return {
+        "images": [rng.standard_normal((b, s, s, 3)).astype(np.float32) * 0.3
+                   for s in (64, 128)],
+        "ids": ids, "mask": mask, "ids_2": ids2, "mask_2": mask2,
+        "class_ids": np.asarray(rng.integers(0, 3, b), np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def clip_setup():
+    model = ClipWithRegionHead(TINY_CLIP)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng, jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32))
+    return model, variables
+
+
+def test_damsm_step_trains(clip_setup):
+    model, variables = clip_setup
+    tx = damsm_optimizer(CFG, steps_per_epoch=10)
+    state = init_damsm_state(CFG, variables, tx)
+    step = jax.jit(make_damsm_step(CFG, model, tx))
+
+    rng = np.random.default_rng(0)
+    ids, mask = _caption_batch(rng, 4, 16)
+    ids2, mask2 = _caption_batch(rng, 4, 16)
+    batch = {
+        "images": rng.standard_normal((4, 32, 32, 3)).astype(np.float32),
+        "ids": ids, "mask": mask, "ids_2": ids2, "mask_2": mask2,
+        "class_ids": np.asarray([0, 1, 2, 3], np.int32),
+    }
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    for k in ("loss", "w_loss", "s_loss", "contrastive", "grad_norm"):
+        assert np.isfinite(float(metrics[k])), k
+    # both parameter groups moved
+    d_lin = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                         state.clip_params["linear_subr"],
+                         state2.clip_params["linear_subr"])
+    assert max(jax.tree.leaves(d_lin)) > 0
+    d_bb = np.abs(np.asarray(
+        state.clip_params["text_projection"]["kernel"] -
+        state2.clip_params["text_projection"]["kernel"])).max()
+    assert d_bb > 0
+    # second step runs from the updated state
+    state3, metrics3 = step(state2, batch)
+    assert int(state3.step) == 2
+    assert np.isfinite(float(metrics3["loss"]))
+
+
+@pytest.fixture(scope="module")
+def gan_setup(clip_setup):
+    clip_model, clip_vars = clip_setup
+    gen = build_generator(CFG)
+    ds = build_discriminators(CFG)
+    g_tx, d_tx = gan_optimizers(CFG)
+    state = init_gan_state(CFG, gen, ds, jax.random.PRNGKey(1))
+    step = make_gan_step(CFG, clip_model, gen, ds, g_tx, d_tx)
+    return clip_model, clip_vars, gen, ds, state, jax.jit(step)
+
+
+def test_gan_step_trains(gan_setup):
+    _, clip_vars, _, _, state, step = gan_setup
+    batch = _gan_batch(np.random.default_rng(1))
+    state2, metrics = step(state, clip_vars["params"], batch,
+                           jax.random.PRNGKey(2))
+    assert int(state2.step) == 1
+    for k in ("g_loss", "g_adv", "w_loss", "s_loss", "kl_loss",
+              "contrastive", "d_loss0", "d_loss1"):
+        assert np.isfinite(float(metrics[k])), k
+    # G moved, EMA lags behind G
+    moved = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                         state.g_params, state2.g_params)
+    assert max(jax.tree.leaves(moved)) > 0
+    ema_gap = jax.tree.map(lambda e, p: np.abs(np.asarray(e - p)).max(),
+                           state2.g_ema_params, state2.g_params)
+    assert max(jax.tree.leaves(ema_gap)) > 0
+    # EMA is a 0.999 mix of old and new parameters
+    k = ("CANet_0", "Dense_0", "kernel")
+    old = np.asarray(state.g_params[k[0]][k[1]][k[2]])
+    new = np.asarray(state2.g_params[k[0]][k[1]][k[2]])
+    ema = np.asarray(state2.g_ema_params[k[0]][k[1]][k[2]])
+    np.testing.assert_allclose(ema, 0.999 * old + 0.001 * new,
+                               rtol=1e-5, atol=1e-7)
+    # discriminators and their spectral states advanced
+    for i in range(2):
+        dm = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                          state.d_params[i], state2.d_params[i])
+        assert max(jax.tree.leaves(dm)) > 0
+        sm = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                          state.d_spectral[i], state2.d_spectral[i])
+        assert max(jax.tree.leaves(sm)) > 0
+
+
+def test_gan_step_data_parallel(gan_setup):
+    """The same step under a Mesh('data') with the batch sharded 8-ways."""
+    _, clip_vars, _, _, state, step = gan_setup
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = _gan_batch(np.random.default_rng(2), b=8)
+    sharded = dict(batch)
+    sharded["images"] = [jnp.asarray(x) for x in batch["images"]]
+    sharded = shard_batch(mesh, sharded)
+    state_r = replicate(mesh, state)
+    clip_r = replicate(mesh, clip_vars["params"])
+    state2, metrics = step(state_r, clip_r, sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert int(state2.step) == 1
+    # the result must equal the unsharded computation
+    state2u, metricsu = step(state, clip_vars["params"], batch,
+                             jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(metrics["g_loss"]),
+                               float(metricsu["g_loss"]),
+                               rtol=2e-4, atol=2e-4)
