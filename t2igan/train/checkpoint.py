@@ -1,0 +1,79 @@
+"""Orbax checkpointing for train states.
+
+Parity target: the reference's epoch-indexed ``torch.save`` snapshots —
+``netG_epoch_%d.pth`` holding the EMA generator weights, ``netD%d.pth`` and
+``clip%d.pth`` (trainer.py:189-200, :459-462; pretrain_DAMSM.py:491-495) —
+and the resume path that parses the epoch from the checkpoint filename
+(trainer.py:127-154).
+
+TPU-native redesign: a single Orbax step-indexed directory per run holding
+the full train state (params, EMA, optimizer states, spectral/batch-stats
+collections) written asynchronously off the training thread; plus a
+``load_torch_clip`` helper that can ingest the reference's ``clip*.pth``
+torch checkpoints through the converter for cross-framework migration.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager with async saves."""
+
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True),
+        )
+
+    def save(self, step: int, state: Any, wait: bool = False):
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def restore(self, state_template: Any, step: Optional[int] = None):
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None, None
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+        return restored, step
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def parse_epoch_from_path(path: str) -> int:
+    """Epoch from a reference-style checkpoint name, e.g.
+    ``.../netG_epoch_550.pth`` -> 550 (trainer.py:137-140)."""
+    m = re.search(r"(\d+)(?:\.[A-Za-z]+)?$", path)
+    return int(m.group(1)) if m else 0
+
+
+def load_torch_clip(path: str):
+    """Load a reference ``clip%d.pth`` torch checkpoint into flax variables
+    (cross-framework resume).  Requires torch for unpickling."""
+    import torch
+
+    from t2igan.models.clip import convert_torch_clip_state
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+    return convert_torch_clip_state(sd)
