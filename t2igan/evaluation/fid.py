@@ -1,0 +1,137 @@
+"""FID: Inception activations, Gaussian statistics, Fréchet distance.
+
+Parity target: the vendored pytorch-fid CLI (``fid_score.py:21-250``):
+activations from the patched Inception-v3 pool3 tap, (mu, sigma) per image
+set, then ``|mu1-mu2|^2 + tr(s1) + tr(s2) - 2 tr(sqrtm(s1 s2))`` with an
+eps-jitter retry for singular covariances (fid_score.py:113-164).
+
+TPU-first redesign: activations run as one batched jitted inference sweep;
+the matrix square root uses the symmetric eigendecomposition route —
+``tr sqrtm(s1 s2) = tr sqrtm(s1^{1/2} s2 s1^{1/2})`` — which is exact for
+PSD inputs and runs on-device (``jnp.linalg.eigh``), instead of scipy's
+general ``sqrtm`` on host.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2igan.models.inception import InceptionV3, preprocess
+
+Array = jnp.ndarray
+
+
+def make_activation_fn(variables, variant: str = "fid"):
+    """Jitted [0,1]-NHWC image batch -> 2048-d pool3 activations."""
+    model = InceptionV3(variant=variant,
+                        num_classes=1008 if variant == "fid" else 1000)
+
+    @jax.jit
+    def run(x01):
+        return model.apply(variables, preprocess(x01))["pool3"]
+
+    return run
+
+
+def compute_statistics(activation_fn, batches: Iterable[np.ndarray]
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Accumulate (mu, sigma) over an iterable of [B, H, W, 3] [0,1]
+    float batches (fid_score.py:167-188)."""
+    acts: List[np.ndarray] = []
+    for batch in batches:
+        acts.append(np.asarray(activation_fn(jnp.asarray(batch))))
+    a = np.concatenate(acts, axis=0).astype(np.float64)
+    mu = a.mean(axis=0)
+    sigma = np.cov(a, rowvar=False)
+    return mu, sigma
+
+
+def _sqrtm_psd(mat: np.ndarray, eps: float = 0.0) -> np.ndarray:
+    """Symmetric PSD matrix square root via eigh; negative eigenvalues from
+    roundoff are clamped (the same role as pytorch-fid's imaginary-part
+    check, fid_score.py:151-157)."""
+    w, v = np.linalg.eigh(mat)
+    w = np.clip(w, eps, None)
+    return (v * np.sqrt(w)) @ v.T
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Fréchet distance between two Gaussians (fid_score.py:113-164).
+
+    The activation sweep runs on TPU; this final 2048^2 reduction is a
+    one-off host computation kept in float64 (JAX's default f32 loses the
+    1e-6 agreement with the reference's scipy.sqrtm route)."""
+    mu1 = np.asarray(mu1, np.float64)
+    mu2 = np.asarray(mu2, np.float64)
+    s1 = np.asarray(sigma1, np.float64)
+    s2 = np.asarray(sigma2, np.float64)
+    diff = mu1 - mu2
+
+    s1_half = _sqrtm_psd(s1)
+    inner = s1_half @ s2 @ s1_half
+    w = np.linalg.eigvalsh(inner)
+    tr_covmean = np.sum(np.sqrt(np.clip(w, 0.0, None)))
+    fid = float(diff @ diff + np.trace(s1) + np.trace(s2) - 2.0 * tr_covmean)
+    if not np.isfinite(fid):
+        # jittered retry, mirroring fid_score.py:146-150
+        off = eps * np.eye(s1.shape[0])
+        return frechet_distance(mu1, s1 + off, mu2, s2 + off, eps)
+    return fid
+
+
+# ---------------------------------------------------------------------------
+# Directory walking + CLI (mirrors fid_score.py's path interface)
+# ---------------------------------------------------------------------------
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def list_images(path: str) -> List[str]:
+    out = []
+    for root, _, names in os.walk(path):
+        for n in sorted(names):
+            if os.path.splitext(n)[1].lower() in IMAGE_EXTS:
+                out.append(os.path.join(root, n))
+    return out
+
+
+def image_batches(files: List[str], batch_size: int, size: int = 299):
+    """Decode to [0,1] float NHWC batches (fid_score.py ImagePathDataset +
+    ToTensor).  Decoding resizes on host to bound transfer size; the
+    [-1,1] rescale happens on device in :func:`preprocess`."""
+    from PIL import Image
+
+    for s in range(0, len(files), batch_size):
+        chunk = files[s:s + batch_size]
+        imgs = []
+        for f in chunk:
+            im = Image.open(f).convert("RGB").resize((size, size),
+                                                     Image.BILINEAR)
+            imgs.append(np.asarray(im, np.float32) / 255.0)
+        yield np.stack(imgs)
+
+
+def statistics_of_path(path: str, activation_fn, batch_size: int = 50):
+    """(mu, sigma) for a directory of images or a precomputed .npz
+    (fid_score.py:191-203)."""
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            return f["mu"][:], f["sigma"][:]
+    files = list_images(path)
+    if not files:
+        raise ValueError(f"no images under {path}")
+    return compute_statistics(activation_fn,
+                              image_batches(files, batch_size))
+
+
+def calculate_fid_given_paths(paths, activation_fn,
+                              batch_size: int = 50) -> float:
+    """FID between two image directories (fid_score.py:206-222)."""
+    m1, s1 = statistics_of_path(paths[0], activation_fn, batch_size)
+    m2, s2 = statistics_of_path(paths[1], activation_fn, batch_size)
+    return frechet_distance(m1, s1, m2, s2)

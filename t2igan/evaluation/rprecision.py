@@ -1,0 +1,67 @@
+"""CLIP R-precision: rank the true caption against 99 mismatched ones.
+
+Parity target: the R-precision loop inside ``condGANTrainer.sampling``
+(trainer.py:578-613): for each generated image, its CLIP image embedding is
+cosine-ranked against the true caption's sentence embedding plus 99 captions
+from other classes; R = fraction ranked first, reported as a 10x3000
+bootstrap mean/std over 30,000 queries.
+
+TPU-first redesign: the reference scores one image at a time with 100 host
+round-trips each; here a whole batch of images ranks against its [B, 100]
+candidate caption sets in one jitted einsum pass.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t2igan.models.clip import ClipWithRegionHead
+
+Array = jnp.ndarray
+
+
+def make_rank_fn(clip_model: ClipWithRegionHead, clip_variables):
+    """Jitted: (images01 [B,S,S,3] in [-1,1] generator output resized to the
+    CLIP input size, true ids/mask [B,W], mis ids/mask [B,99,W]) -> [B] bool
+    hit flags."""
+
+    def run(images, ids_true, mask_true, ids_mis, mask_mis):
+        b, n_mis, w = ids_mis.shape
+        _, img_code = clip_model.apply(
+            clip_variables, images,
+            method=ClipWithRegionHead.encode_image_verbose)   # [B, D]
+        _, sent_true = clip_model.apply(
+            clip_variables, ids_true, mask_true,
+            method=ClipWithRegionHead.encode_text_verbose)    # [B, D]
+        _, sent_mis = clip_model.apply(
+            clip_variables, ids_mis.reshape(b * n_mis, w),
+            mask_mis.reshape(b * n_mis, w),
+            method=ClipWithRegionHead.encode_text_verbose)
+        sent_mis = sent_mis.reshape(b, n_mis, -1)
+        cands = jnp.concatenate([sent_true[:, None, :], sent_mis], axis=1)
+        img_n = img_code / jnp.clip(
+            jnp.linalg.norm(img_code, axis=-1, keepdims=True), min=1e-8)
+        cand_n = cands / jnp.clip(
+            jnp.linalg.norm(cands, axis=-1, keepdims=True), min=1e-8)
+        scores = jnp.einsum("bd,bnd->bn", img_n, cand_n)
+        return jnp.argmax(scores, axis=-1) == 0
+
+    return jax.jit(run)
+
+
+def bootstrap_r_precision(hits: np.ndarray, n_groups: int = 10,
+                          group_size: int = 3000,
+                          seed: int = 0) -> Tuple[float, float]:
+    """Shuffle and average in n_groups chunks (trainer.py:605-613)."""
+    r = np.asarray(hits, dtype=np.float64).copy()
+    np.random.default_rng(seed).shuffle(r)
+    total = n_groups * group_size
+    if r.size < total:
+        group_size = max(1, r.size // n_groups)
+        total = n_groups * group_size
+    means = r[:total].reshape(n_groups, group_size).mean(axis=1)
+    return float(means.mean()), float(means.std())
