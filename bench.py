@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: 256x256 text->image generation throughput per chip.
+
+Runs the flagship inference path (CLIP ViT-B/32 text encode -> cascaded
+DM-GAN generator 64->128->256) on the available accelerator and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the reference stack publishes no numbers (BASELINE.md), so
+``vs_baseline`` is computed against an analytic V100 estimate for the same
+generator: ~55 GFLOP/image forward at fp32 on a 15.7 TFLOP/s V100 at an
+optimistic 40% utilization ≈ 115 images/sec.  The north-star target
+(BASELINE.json) is >=5x that per chip.
+
+Flags: --batch, --iters, --mode {gen,train,damsm}, --dtype {f32,bf16}.
+"""
+
+import argparse
+import json
+import time
+
+
+V100_REFERENCE_IMGS_PER_SEC = 115.0
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--mode", choices=["gen", "train", "damsm"],
+                   default="gen")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    return p.parse_args()
+
+
+def bench_gen(args):
+    import jax
+    import jax.numpy as jnp
+
+    from t2igan.config import Config, cfg_replace
+    from t2igan.models.clip import ClipConfig, ClipWithRegionHead
+    from t2igan.models.factory import build_generator
+    from t2igan.train.steps import make_sampler
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    cfg = cfg_replace(Config(), GAN={"GF_DIM": 64, "DF_DIM": 32},
+                      TEXT={"EMBEDDING_DIM": 512, "WORDS_NUM": 77})
+    clip_cfg = ClipConfig()
+    clip_model = ClipWithRegionHead(clip_cfg, dtype=dtype)
+    gen_model = build_generator(cfg, dtype=dtype)
+
+    b, w = args.batch, 77
+    ids = jnp.full((b, w), clip_cfg.eos_token_id, jnp.int32)
+    mask = jnp.ones((b, w), jnp.int32)
+    clip_vars = clip_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+        ids[:1], mask[:1])
+    z = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.GAN.Z_DIM))
+    eps = jax.random.normal(jax.random.PRNGKey(4),
+                            (b, cfg.GAN.CONDITION_DIM))
+    sent = jnp.zeros((b, 512))
+    words = jnp.zeros((b, w, 512))
+    g_vars = gen_model.init(
+        {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)},
+        z, sent, words, mask == 0, False, eps)
+
+    sampler = make_sampler(cfg, clip_model, gen_model)
+    cp, gp = clip_vars["params"], g_vars["params"]
+    gb = g_vars.get("batch_stats", {})
+
+    def run():
+        fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
+        return fakes[-1]
+
+    for _ in range(args.warmup):
+        run().block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = run()
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return args.batch * args.iters / dt
+
+
+def main():
+    args = parse_args()
+    if args.mode == "gen":
+        value = bench_gen(args)
+        metric = "256x256 text-to-image generation"
+    else:
+        raise SystemExit(f"mode {args.mode} not yet wired")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / V100_REFERENCE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

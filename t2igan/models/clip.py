@@ -125,6 +125,10 @@ class TextTower(nn.Module):
     def __call__(self, input_ids: Array, attention_mask: Optional[Array]):
         c = self.cfg.text
         b, l = input_ids.shape
+        # Clamp ids: jnp.take's OOB fill mode would silently produce NaN for
+        # ids outside the table (e.g. a full-vocab tokenizer against a
+        # reduced-vocab test model).
+        input_ids = jnp.clip(input_ids, 0, self.cfg.vocab_size - 1)
         tok = nn.Embed(self.cfg.vocab_size, c.hidden_size,
                        dtype=self.dtype, name="token_embedding")(input_ids)
         pos = self.param("position_embedding",

@@ -35,6 +35,20 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, tuple(axis_names))
 
 
+def make_mesh_for_batch(batch_size: int,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """Data mesh using the largest device count that divides the batch.
+
+    The reference's DataParallel silently handles uneven splits; on TPU we
+    keep shapes static by shrinking the mesh instead (a batch of 4 on an
+    8-device host uses 4 devices)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

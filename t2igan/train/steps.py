@@ -60,12 +60,11 @@ def _l2n(x, axis=-1, eps=1e-8):
 # DAMSM pretraining step
 # ---------------------------------------------------------------------------
 
-def make_damsm_step(cfg: Config, clip_model: ClipWithRegionHead, tx):
-    """Build the jittable DAMSM step ``(state, batch) -> (state, metrics)``.
-
+def make_damsm_loss(cfg: Config, clip_model: ClipWithRegionHead):
+    """Pure DAMSM loss ``(clip_params, batch) -> (total, metrics)`` — also
+    used stand-alone (jitted) for validation (pretrain_DAMSM.py:273-344).
     ``batch``: dict with images [B, S, S, 3], ids/mask for both caption
-    views, class_ids.
-    """
+    views, class_ids."""
     g1 = cfg.TRAIN.SMOOTH.GAMMA1
     g2 = cfg.TRAIN.SMOOTH.GAMMA2
     g3 = cfg.TRAIN.SMOOTH.GAMMA3
@@ -106,6 +105,13 @@ def make_damsm_step(cfg: Config, clip_model: ClipWithRegionHead, tx):
             "contrastive": contrast,
         }
         return total, metrics
+
+    return loss_fn
+
+
+def make_damsm_step(cfg: Config, clip_model: ClipWithRegionHead, tx):
+    """Build the jittable DAMSM step ``(state, batch) -> (state, metrics)``."""
+    loss_fn = make_damsm_loss(cfg, clip_model)
 
     def step(state: DamsmTrainState, batch) -> Tuple[DamsmTrainState, Dict]:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -284,3 +290,20 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
         return new_state, metrics
 
     return step
+
+
+def make_sampler(cfg: Config, clip_model: ClipWithRegionHead, gen_model):
+    """Jittable text -> image pyramid inference (the core of ``sampling()``,
+    trainer.py:545-556): CLIP text encode then generator forward in eval
+    mode (running BN statistics, fixed CA noise)."""
+
+    def sample(clip_params, g_params, g_bstats, ids, mask, z, eps):
+        words, sent = clip_model.apply(
+            {"params": clip_params}, ids, mask,
+            method=ClipWithRegionHead.encode_text_verbose)
+        fakes, atts, _, _ = gen_model.apply(
+            {"params": g_params, "batch_stats": g_bstats},
+            z, sent, words, mask == 0, False, eps)
+        return fakes, atts
+
+    return jax.jit(sample)

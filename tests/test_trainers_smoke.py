@@ -1,0 +1,98 @@
+"""End-to-end trainer smoke tests on tiny configs with synthetic data:
+DAMSM epoch, GAN epoch, sampling sweep with R-precision, gen_example."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from t2igan.config import Config, cfg_replace
+from tests.test_train_steps import TINY_CLIP
+
+pytestmark = pytest.mark.slow
+
+
+DAMSM_CFG = cfg_replace(
+    Config(),
+    DATA_DIR="",  # forces synthetic
+    WORKERS=1,
+    TREE={"BASE_SIZE": 32, "BRANCH_NUM": 1},
+    TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 16, "CAPTIONS_PER_IMAGE": 2},
+    TRAIN={"BATCH_SIZE": 4, "MAX_EPOCH": 1, "SNAPSHOT_INTERVAL": 1})
+
+GAN_CFG = cfg_replace(
+    Config(),
+    DATA_DIR="",
+    WORKERS=1,
+    TREE={"BASE_SIZE": 64, "BRANCH_NUM": 2},
+    GAN={"GF_DIM": 8, "DF_DIM": 4, "Z_DIM": 16, "CONDITION_DIM": 16,
+         "R_NUM": 1},
+    TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 16, "CAPTIONS_PER_IMAGE": 2},
+    TRAIN={"BATCH_SIZE": 4, "MAX_EPOCH": 1, "SNAPSHOT_INTERVAL": 1,
+           "CLIP_MODEL_CHECKPOINT": ""})
+
+
+def _shrink_loader(trainer, n_batches=2):
+    """Trim synthetic datasets so an epoch is only a couple of steps."""
+    trainer.loader.dataset.n = n_batches * trainer.loader.batch_size
+    trainer.loader.dataset.class_id = \
+        trainer.loader.dataset.class_id[:trainer.loader.dataset.n]
+
+
+def test_damsm_trainer_epoch(tmp_path):
+    from t2igan.train.pretrain_damsm import DamsmTrainer
+
+    trainer = DamsmTrainer(DAMSM_CFG, str(tmp_path / "out"),
+                           clip_cfg=TINY_CLIP, words_num=16)
+    trainer.train_loader.dataset.n = 8
+    trainer.train_loader.dataset.class_id = \
+        trainer.train_loader.dataset.class_id[:8]
+    trainer.val_loader.dataset.n = 8
+    trainer.val_loader.dataset.class_id = \
+        trainer.val_loader.dataset.class_id[:8]
+    state = trainer.train(max_epochs=1)
+    assert int(state.step) == 2  # 8 samples / batch 4
+    assert os.path.isfile(os.path.join(str(tmp_path / "out"),
+                                       "metrics.jsonl"))
+    figs = glob.glob(os.path.join(str(tmp_path / "out"), "Image", "*.png"))
+    assert figs, "attention figure not written"
+
+
+def test_gan_trainer_epoch_sampling_and_example(tmp_path):
+    from t2igan.train.train_gan import CondGanTrainer
+
+    out = str(tmp_path / "gan")
+    trainer = CondGanTrainer(GAN_CFG, out, clip_cfg=TINY_CLIP)
+    _shrink_loader(trainer)
+    state = trainer.train(max_epochs=1)
+    assert int(state.step) == 2
+    assert glob.glob(os.path.join(out, "Image", "G_*.png"))
+
+    # sampling: tiny sweep with 5 mis-captions and an 8-query target
+    mean, std = trainer.sampling("valid", num_rounds=1, r_target=8,
+                                 n_mis=5)
+    assert 0.0 <= mean <= 1.0
+    singles = glob.glob(os.path.join(out, "valid", "single", "**", "*.png"),
+                        recursive=True)
+    assert len(singles) >= 8
+
+    # gen_example renders stage images + attention grids
+    trainer.gen_example({"demo": ["a bird with red wings",
+                                  "a small blue bird"]})
+    outs = glob.glob(os.path.join(out, "demo", "*.png"))
+    assert any("_g0" in p for p in outs)
+    assert any("_g1" in p for p in outs)
+    assert any("_a0" in p for p in outs)
+
+
+def test_gan_trainer_resume(tmp_path):
+    from t2igan.train.train_gan import CondGanTrainer
+
+    out = str(tmp_path / "resume")
+    t1 = CondGanTrainer(GAN_CFG, out, clip_cfg=TINY_CLIP)
+    _shrink_loader(t1, 1)
+    t1.train(max_epochs=1)
+    step1 = int(t1.state.step)
+    t2 = CondGanTrainer(GAN_CFG, out, clip_cfg=TINY_CLIP)
+    assert int(t2.state.step) == step1
