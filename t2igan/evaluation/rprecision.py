@@ -59,6 +59,7 @@ def bootstrap_r_precision(hits: np.ndarray, n_groups: int = 10,
     """Shuffle and average in n_groups chunks (trainer.py:605-613)."""
     r = np.asarray(hits, dtype=np.float64).copy()
     np.random.default_rng(seed).shuffle(r)
+    n_groups = max(1, min(n_groups, r.size))
     total = n_groups * group_size
     if r.size < total:
         group_size = max(1, r.size // n_groups)
