@@ -26,8 +26,10 @@ def tanh_to01(x: np.ndarray) -> np.ndarray:
 
 
 def _upscale_nearest(a: np.ndarray, size: int) -> np.ndarray:
-    rep = size // a.shape[0]
-    return np.repeat(np.repeat(a, rep, axis=0), rep, axis=1)
+    """Nearest-resize a 2-D map to exactly (size, size)."""
+    idx_r = (np.arange(size) * a.shape[0]) // size
+    idx_c = (np.arange(size) * a.shape[1]) // size
+    return a[np.ix_(idx_r, idx_c)]
 
 
 def attention_grid(images01: np.ndarray, attn: np.ndarray,
@@ -62,9 +64,9 @@ def attention_grid(images01: np.ndarray, attn: np.ndarray,
         y = i * (cell + pad_top) + pad_top
         grid.paste(base, (0, y))
         for w in range(n_words):
-            amap = attn[i, :, :, w]
+            amap = np.nan_to_num(attn[i, :, :, w])
             amax = amap.max() if amap.max() > 0 else 1.0
-            amap = _upscale_nearest(amap / amax, cell)[:cell, :cell]
+            amap = _upscale_nearest(amap / amax, cell)
             overlay = np.asarray(base, np.float32) / 255.0
             heat = np.stack([amap, np.zeros_like(amap), 1.0 - amap], -1)
             mix = np.clip(0.6 * overlay + 0.4 * heat, 0, 1)
