@@ -35,6 +35,26 @@ def parse_args():
     return p.parse_args()
 
 
+def _enable_cpu_fallback():
+    """Make the host CPU platform available next to the accelerator so model
+    initialization doesn't pay an accelerator compile (the axon tunnel's
+    remote compile costs minutes per graph)."""
+    import os
+
+    import jax
+
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats:
+        try:
+            jax.config.update("jax_platforms", plats + ",cpu")
+        except Exception:
+            pass
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
 def bench_gen(args):
     import jax
     import jax.numpy as jnp
@@ -51,20 +71,33 @@ def bench_gen(args):
     clip_model = ClipWithRegionHead(clip_cfg, dtype=dtype)
     gen_model = build_generator(cfg, dtype=dtype)
 
+    cpu = _enable_cpu_fallback()
     b, w = args.batch, 77
     ids = jnp.full((b, w), clip_cfg.eos_token_id, jnp.int32)
     mask = jnp.ones((b, w), jnp.int32)
-    clip_vars = clip_model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
-        ids[:1], mask[:1])
     z = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.GAN.Z_DIM))
     eps = jax.random.normal(jax.random.PRNGKey(4),
                             (b, cfg.GAN.CONDITION_DIM))
     sent = jnp.zeros((b, 512))
     words = jnp.zeros((b, w, 512))
-    g_vars = gen_model.init(
-        {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)},
-        z, sent, words, mask == 0, False, eps)
+
+    def init_all():
+        clip_vars = clip_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+            ids[:1], mask[:1])
+        g_vars = gen_model.init(
+            {"params": jax.random.PRNGKey(1),
+             "gaussian": jax.random.PRNGKey(2)},
+            z, sent, words, mask == 0, False, eps)
+        return clip_vars, g_vars
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            clip_vars, g_vars = init_all()
+        clip_vars = jax.device_put(clip_vars, jax.devices()[0])
+        g_vars = jax.device_put(g_vars, jax.devices()[0])
+    else:
+        clip_vars, g_vars = init_all()
 
     sampler = make_sampler(cfg, clip_model, gen_model)
     cp, gp = clip_vars["params"], g_vars["params"]

@@ -126,9 +126,16 @@ def attention_match_scores(words: Array, regions: Array,
     return jax.nn.logsumexp(gamma2 * cos, axis=-1) / gamma2
 
 
+def _use_fused_kernel() -> bool:
+    """Pick the Pallas matching-score kernel on TPU backends."""
+    backend = jax.default_backend()
+    return backend in ("tpu", "axon")
+
+
 def words_loss(regions: Array, words: Array,
                class_ids: Array | None, word_mask: Array | None,
-               gamma1: float, gamma2: float, gamma3: float):
+               gamma1: float, gamma2: float, gamma3: float,
+               fused: bool | None = None):
     """Word-region attention matching loss (losses.py:219-272).
 
     Args:
@@ -143,8 +150,15 @@ def words_loss(regions: Array, words: Array,
       :func:`t2igan.ops.attention.word_region_attention` for visualization
       (the reference returned them from the loss; we keep the loss lean).
     """
-    similarities = attention_match_scores(
-        words, regions, word_mask, gamma1, gamma2) * gamma3  # [B_text, B_img]
+    if fused is None:
+        fused = _use_fused_kernel()
+    if fused:
+        from t2igan.ops.pallas.damsm_attn import attention_match_scores_fused
+        similarities = attention_match_scores_fused(
+            words, regions, word_mask, gamma1, gamma2) * gamma3
+    else:
+        similarities = attention_match_scores(
+            words, regions, word_mask, gamma1, gamma2) * gamma3  # [B_t, B_i]
     if class_ids is not None:
         similarities = jnp.where(_class_mask(class_ids), NEG_INF, similarities)
     loss0 = _cross_entropy_rows(similarities)
