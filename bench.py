@@ -117,11 +117,80 @@ def bench_gen(args):
     return args.batch * args.iters / dt
 
 
+def bench_train(args):
+    """Full adversarial train step (clip_bird_DMGAN.yml shape: batch 4,
+    G gf=64, D df=32, 3 scales, DAMSM ranking loss through CLIP)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from t2igan.config import Config, cfg_replace
+    from t2igan.models.clip import ClipConfig, ClipWithRegionHead
+    from t2igan.models.factory import build_discriminators, build_generator
+    from t2igan.train.state import gan_optimizers, init_gan_state
+    from t2igan.train.steps import make_gan_step
+
+    cpu = _enable_cpu_fallback()
+    cfg = cfg_replace(Config(),
+                      GAN={"GF_DIM": 64, "DF_DIM": 32, "R_NUM": 2},
+                      TEXT={"EMBEDDING_DIM": 512, "WORDS_NUM": 77},
+                      TRAIN={"BATCH_SIZE": args.batch})
+    clip_cfg = ClipConfig()
+    clip_model = ClipWithRegionHead(clip_cfg)
+    gen = build_generator(cfg)
+    ds = build_discriminators(cfg)
+    g_tx, d_tx = gan_optimizers(cfg)
+
+    def init_all():
+        clip_vars = clip_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+            jnp.zeros((1, 77), jnp.int32), jnp.ones((1, 77), jnp.int32))
+        state = init_gan_state(cfg, gen, ds, jax.random.PRNGKey(1))
+        return clip_vars, state
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            clip_vars, state = init_all()
+        dev = jax.devices()[0]
+        clip_vars = jax.device_put(clip_vars, dev)
+        state = jax.device_put(state, dev)
+    else:
+        clip_vars, state = init_all()
+
+    step = jax.jit(make_gan_step(cfg, clip_model, gen, ds, g_tx, d_tx))
+    b = args.batch
+    rng = np.random.default_rng(0)
+    ids = np.full((b, 77), clip_cfg.eos_token_id, np.int32)
+    batch = {
+        "images": [jnp.asarray(rng.standard_normal(
+            (b, s, s, 3)).astype(np.float32)) for s in (64, 128, 256)],
+        "ids": jnp.asarray(ids), "mask": jnp.ones((b, 77), jnp.int32),
+        "ids_2": jnp.asarray(ids), "mask_2": jnp.ones((b, 77), jnp.int32),
+        "class_ids": jnp.arange(b, dtype=jnp.int32),
+    }
+    key = jax.random.PRNGKey(2)
+    for _ in range(args.warmup):
+        state, m = step(state, clip_vars["params"], batch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, clip_vars["params"], batch, key)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return args.iters / dt  # steps/sec
+
+
 def main():
     args = parse_args()
     if args.mode == "gen":
         value = bench_gen(args)
         metric = "256x256 text-to-image generation"
+    elif args.mode == "train":
+        value = bench_train(args)
+        metric = "full adversarial train step (batch %d)" % args.batch
+        print(json.dumps({"metric": metric, "value": round(value, 3),
+                          "unit": "steps/sec", "vs_baseline": None}))
+        return
     else:
         raise SystemExit(f"mode {args.mode} not yet wired")
     print(json.dumps({

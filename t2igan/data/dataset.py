@@ -86,21 +86,29 @@ class ImageTransform:
         self.imsize = imsize
         self.scale = int(imsize * 76 / 64)
 
+    def scaled_dims(self, w: int, h: int):
+        """torchvision Scale semantics: shorter side -> scale."""
+        if w < h:
+            return self.scale, int(round(self.scale * h / w))
+        return int(round(self.scale * w / h)), self.scale
+
+    def plan(self, w: int, h: int, rng: np.random.Generator):
+        """Draw the random crop/flip decisions up front so the transform can
+        be executed by either the PIL or the native C++ backend."""
+        nw, nh = self.scaled_dims(w, h)
+        x0 = int(rng.integers(0, nw - self.imsize + 1))
+        y0 = int(rng.integers(0, nh - self.imsize + 1))
+        flip = bool(rng.random() < 0.5)
+        return nw, nh, x0, y0, flip
+
     def __call__(self, img, rng: np.random.Generator):
         from PIL import Image
 
         w, h = img.size
-        # torchvision Scale: shorter side -> scale
-        if w < h:
-            nw, nh = self.scale, int(self.scale * h / w)
-        else:
-            nw, nh = int(self.scale * w / h), self.scale
+        nw, nh, x0, y0, flip = self.plan(w, h, rng)
         img = img.resize((nw, nh), Image.BILINEAR)
-        # random crop
-        x0 = int(rng.integers(0, nw - self.imsize + 1))
-        y0 = int(rng.integers(0, nh - self.imsize + 1))
         img = img.crop((x0, y0, x0 + self.imsize, y0 + self.imsize))
-        if rng.random() < 0.5:
+        if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return img
 

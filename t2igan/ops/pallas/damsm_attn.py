@@ -49,9 +49,9 @@ def _kernel(words_ref, regions_ref, wmask_ref, lslot_ref, pslot_ref,
     """
     words = words_ref[0]                       # [L, D]
     regions = regions_ref[0]                   # [P, D]
-    wmask = wmask_ref[:]                       # [1, L]
-    lslot = lslot_ref[:]                       # [1, L]
-    pslot = pslot_ref[:]                       # [1, P]
+    wmask = wmask_ref[0]                       # [1, L]
+    lslot = lslot_ref[0]                       # [1, L]
+    pslot = pslot_ref[0]                       # [1, P]
 
     # Eq.(7): similarity of every (patch, word) pair.
     sim = jax.lax.dot_general(
@@ -85,7 +85,57 @@ def _kernel(words_ref, regions_ref, wmask_ref, lslot_ref, pslot_ref,
     # R(Q,D) = (1/g2) * logsumexp over the original word slots
     t = jnp.where(jnp.transpose(lslot) > 0, gamma2 * cos, NEG)  # [L, 1]
     m = jnp.max(t)
-    out_ref[0, 0] = (m + jnp.log(jnp.sum(jnp.exp(t - m)))) / gamma2
+    lse = (m + jnp.log(jnp.sum(jnp.exp(t - m)))) / gamma2
+    out_ref[0, 0] = lse.reshape(1, 1)
+
+
+def _kernel_rows(words_ref, regions_ref, wmask_ref, lslot_ref, pslot_ref,
+                 out_ref, *, gamma1: float, gamma2: float):
+    """One text i against ALL images — row-tiled variant.
+
+    The (i, j) grid version launches B^2 programs of tiny matmuls and loses
+    to XLA on grid overhead; this one runs B programs whose similarity
+    matmul is [B*P, D] x [D, L] (MXU-sized) with all regions resident in
+    VMEM (~5.5 MB at the DAMSM batch).
+
+    words_ref:   [1, L, D]; regions_ref: [B, P, D] (full);
+    wmask/lslot: [1, 1, L]; pslot: [B, 1, P]; out_ref: [1, 1, B].
+    """
+    words = words_ref[0]                               # [L, D]
+    bj, pp, d = regions_ref.shape
+    regions_flat = regions_ref[:].reshape(bj * pp, d)
+    wmask = wmask_ref[0]                               # [1, L]
+    lslot = lslot_ref[0]                               # [1, L]
+
+    sim = jax.lax.dot_general(
+        regions_flat, words, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [B*P, L]
+
+    masked = jnp.where(wmask > 0, sim, NEG)
+    masked = masked - jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.exp(masked)
+    sm = e / jnp.sum(e, axis=1, keepdims=True)         # [B*P, L]
+
+    sm3 = sm.reshape(bj, pp, -1)                       # [B, P, L]
+    pkeep = jnp.transpose(pslot_ref[:], (0, 2, 1))     # [B, P, 1]
+    a = jnp.where(pkeep > 0, gamma1 * sm3, NEG)
+    a = a - jnp.max(a, axis=1, keepdims=True)
+    ea = jnp.exp(a)
+    attn = ea / jnp.sum(ea, axis=1, keepdims=True)     # [B, P, L]
+
+    rc = jax.lax.dot_general(
+        attn, regions_ref[:], (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [B, L, D]
+
+    num = jnp.sum(rc * words[None], axis=2)            # [B, L]
+    rc_n = jnp.sqrt(jnp.sum(rc * rc, axis=2))
+    w_n = jnp.sqrt(jnp.sum(words * words, axis=1))     # [L]
+    cos = num / jnp.maximum(rc_n * w_n[None, :], 1e-6)  # [B, L]
+
+    t = jnp.where(lslot > 0, gamma2 * cos, NEG)        # [B, L]
+    m = jnp.max(t, axis=1, keepdims=True)
+    lse = (m[:, 0] + jnp.log(jnp.sum(jnp.exp(t - m), axis=1))) / gamma2
+    out_ref[0] = lse.reshape(1, bj)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -121,37 +171,42 @@ def _forward(words, regions, word_mask, gamma1, gamma2, interpret):
         wm = jnp.ones((b, l), jnp.float32)
     else:
         wm = word_mask.astype(jnp.float32)
-    wm = jnp.pad(wm, ((0, 0), (0, lp - l)))
-    lslot = jnp.pad(jnp.ones((b, l), jnp.float32), ((0, 0), (0, lp - l)))
-    pslot = jnp.pad(jnp.ones((b, p), jnp.float32), ((0, 0), (0, pp - p)))
+    # Masks carry a unit row axis so each block's trailing two dims equal the
+    # overall array dims — a Mosaic lowering requirement for sub-(8,128)
+    # blocks; same for the scalar output tile.
+    wm = jnp.pad(wm, ((0, 0), (0, lp - l)))[:, None, :]          # [B,1,L]
+    lslot = jnp.pad(jnp.ones((b, l), jnp.float32),
+                    ((0, 0), (0, lp - l)))[:, None, :]
+    pslot = jnp.pad(jnp.ones((b, p), jnp.float32),
+                    ((0, 0), (0, pp - p)))[:, None, :]
 
-    kernel = functools.partial(_kernel, gamma1=float(gamma1),
+    kernel = functools.partial(_kernel_rows, gamma1=float(gamma1),
                                gamma2=float(gamma2))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, b), jnp.float32),
-        grid=(b, b),
+        out_shape=jax.ShapeDtypeStruct((b, 1, b), jnp.float32),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, lp, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pp, d), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((b, pp, d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pp), lambda i, j: (j, 0),
+            pl.BlockSpec((b, 1, pp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * b * (lp * pp * d * 2),
-            bytes_accessed=b * b * (lp + pp) * d * 4,
+            bytes_accessed=b * (lp + b * pp) * d * 4,
             transcendentals=b * b * (lp * pp + lp)),
         interpret=interpret,
     )(wn, rn, wm, lslot, pslot)
-    return out
+    return out.reshape(b, b)
 
 
 def _fwd(words, regions, word_mask, gamma1, gamma2, interpret):

@@ -96,7 +96,9 @@ class DamsmTrainer:
         self.state = init_damsm_state(cfg, clip_vars, self.tx)
 
         self.mesh = make_mesh_for_batch(cfg.TRAIN.BATCH_SIZE)
-        self.step_fn = jax.jit(make_damsm_step(cfg, self.clip_model, self.tx))
+        # donate the state so optimizer/param buffers update in place on-device
+        self.step_fn = jax.jit(make_damsm_step(cfg, self.clip_model, self.tx),
+                               donate_argnums=(0,))
         self.eval_loss_fn = jax.jit(make_damsm_loss(cfg, self.clip_model))
 
         self.ckpt = CheckpointManager(os.path.join(output_dir, "Model"))

@@ -60,8 +60,11 @@ class CondGanTrainer:
         g_tx, d_tx = gan_optimizers(cfg)
         self.state = init_gan_state(cfg, self.gen_model, self.d_models,
                                     jax.random.PRNGKey(0))
-        self.step_fn = jax.jit(make_gan_step(
-            cfg, self.clip_model, self.gen_model, self.d_models, g_tx, d_tx))
+        # donate the state so G/D/optimizer buffers update in place on-device
+        self.step_fn = jax.jit(
+            make_gan_step(cfg, self.clip_model, self.gen_model,
+                          self.d_models, g_tx, d_tx),
+            donate_argnums=(0,))
         self.sampler = make_sampler(cfg, self.clip_model, self.gen_model)
 
         self.mesh = make_mesh_for_batch(cfg.TRAIN.BATCH_SIZE)
