@@ -212,13 +212,32 @@ class TextImageDataset:
         img = Image.open(self.image_path(key)).convert("RGB")
         if self.bbox is not None:
             img = crop_to_bbox(img, self.bbox[key])
-        img = self.transform(img, self.rng)
-        images = build_pyramid(img, self.sizes)
+        images = self._pyramid(img)
         return Record(images=images,
                       caption=self._random_caption(index),
                       caption_2=self._random_caption(index),
                       class_id=int(self.class_id[index]),
                       key=key)
+
+    def _pyramid(self, img) -> List[np.ndarray]:
+        """Augment + multi-scale pyramid; native C++ backend when built,
+        PIL otherwise (same transform plan either way)."""
+        from t2igan import native
+
+        w, h = img.size
+        nw, nh, x0, y0, flip = self.transform.plan(w, h, self.rng)
+        if native.available():
+            return native.pyramid(np.asarray(img, np.uint8),
+                                  self.transform.scale, self.transform.imsize,
+                                  x0, y0, flip, self.sizes)
+        from PIL import Image as PILImage
+
+        img = img.resize((nw, nh), PILImage.BILINEAR)
+        img = img.crop((x0, y0, x0 + self.transform.imsize,
+                        y0 + self.transform.imsize))
+        if flip:
+            img = img.transpose(PILImage.FLIP_LEFT_RIGHT)
+        return build_pyramid(img, self.sizes)
 
     def mis_captions(self, cls_id: int, n: int = 99) -> List[str]:
         """n captions from other classes (datasets.py:635-661)."""

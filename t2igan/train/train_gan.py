@@ -74,18 +74,29 @@ class CondGanTrainer:
         self.ckpt = CheckpointManager(self.model_dir)
         self.logger = MetricsLogger(output_dir, print_every=100)
 
-        # resume (trainer.py:127-154): NET_G may point at the orbax dir
-        resume_dir = cfg.TRAIN.NET_G or self.model_dir
-        if os.path.isdir(resume_dir):
-            try:
-                mgr = (self.ckpt if resume_dir == self.model_dir
-                       else CheckpointManager(resume_dir))
-                restored, step = mgr.restore(self.state)
-                if restored is not None:
-                    self.state = restored
-                    print(f"Resumed GAN state from step {step}")
-            except Exception as e:  # fresh run
-                print(f"NOTE: no resumable checkpoint in {resume_dir}: {e}")
+        # resume (trainer.py:127-154): NET_G may point at the orbax dir or a
+        # standalone generator export (.npz, the netG_epoch_*.pth analogue)
+        net_g = cfg.TRAIN.NET_G
+        if net_g and os.path.isfile(net_g) and net_g.endswith(".npz"):
+            from t2igan.train.export import load_generator
+            ema, stats = load_generator(net_g)
+            self.state = self.state.replace(g_ema_params=ema,
+                                            g_params=ema,
+                                            g_batch_stats=stats)
+            print(f"Loaded generator export: {net_g}")
+        else:
+            resume_dir = net_g or self.model_dir
+            if os.path.isdir(resume_dir):
+                try:
+                    mgr = (self.ckpt if resume_dir == self.model_dir
+                           else CheckpointManager(resume_dir))
+                    restored, step = mgr.restore(self.state)
+                    if restored is not None:
+                        self.state = restored
+                        print(f"Resumed GAN state from step {step}")
+                except Exception as e:  # fresh run
+                    print(f"NOTE: no resumable checkpoint in "
+                          f"{resume_dir}: {e}")
 
     # ------------------------------------------------------------------
     # training (trainer.py:250-464)
@@ -125,6 +136,12 @@ class CondGanTrainer:
             if epoch % cfg.TRAIN.SNAPSHOT_INTERVAL == 0 or \
                     epoch == epochs - 1:
                 self.ckpt.save(int(self.state.step), self.state)
+                from t2igan.train.export import save_generator
+                save_generator(
+                    os.path.join(self.model_dir,
+                                 f"netG_epoch_{epoch}"),
+                    jax.device_get(self.state.g_ema_params),
+                    jax.device_get(self.state.g_batch_stats))
                 self._save_sample_grid(epoch)
         self.ckpt.wait()
         return self.state
