@@ -180,11 +180,72 @@ def bench_train(args):
     return args.iters / dt  # steps/sec
 
 
+def bench_damsm(args):
+    """DAMSM CLIP fine-tune step (DAMSM/bird.yml shape: batch 48, 224px,
+    two caption views, grad-clipped two-group update)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from t2igan.config import Config, cfg_replace
+    from t2igan.models.clip import ClipConfig, ClipWithRegionHead
+    from t2igan.train.state import damsm_optimizer, init_damsm_state
+    from t2igan.train.steps import make_damsm_step
+
+    cpu = _enable_cpu_fallback()
+    b = args.batch
+    cfg = cfg_replace(Config(),
+                      TREE={"BRANCH_NUM": 1, "BASE_SIZE": 224},
+                      TRAIN={"BATCH_SIZE": b})
+    clip_cfg = ClipConfig()
+    model = ClipWithRegionHead(clip_cfg)
+    tx = damsm_optimizer(cfg, steps_per_epoch=100)
+
+    def init_all():
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+            jnp.zeros((1, 30), jnp.int32), jnp.ones((1, 30), jnp.int32))
+        return init_damsm_state(cfg, variables, tx)
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            state = init_all()
+        state = jax.device_put(state, jax.devices()[0])
+    else:
+        state = init_all()
+
+    step = jax.jit(make_damsm_step(cfg, model, tx))
+    rng = np.random.default_rng(0)
+    ids = np.full((b, 30), clip_cfg.eos_token_id, np.int32)
+    batch = {
+        "images": jnp.asarray(
+            rng.standard_normal((b, 224, 224, 3)).astype(np.float32)),
+        "ids": jnp.asarray(ids), "mask": jnp.ones((b, 30), jnp.int32),
+        "ids_2": jnp.asarray(ids), "mask_2": jnp.ones((b, 30), jnp.int32),
+        "class_ids": jnp.arange(b, dtype=jnp.int32),
+    }
+    for _ in range(args.warmup):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m)
+    return args.iters / (time.perf_counter() - t0)
+
+
 def main():
     args = parse_args()
     if args.mode == "gen":
         value = bench_gen(args)
         metric = "256x256 text-to-image generation"
+    elif args.mode == "damsm":
+        value = bench_damsm(args)
+        print(json.dumps({
+            "metric": "DAMSM CLIP fine-tune step (batch %d)" % args.batch,
+            "value": round(value, 3), "unit": "steps/sec",
+            "vs_baseline": None}))
+        return
     elif args.mode == "train":
         value = bench_train(args)
         metric = "full adversarial train step (batch %d)" % args.batch

@@ -1,0 +1,79 @@
+"""Tensor-parallel CLIP: sharded (data x model) step must match the
+single-device computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2igan.config import Config, cfg_replace
+from t2igan.models.clip import ClipWithRegionHead
+from t2igan.parallel.mesh import make_mesh
+from t2igan.parallel.tp import clip_param_sharding, shard_clip_params
+from t2igan.train.state import damsm_optimizer, init_damsm_state
+from t2igan.train.steps import make_damsm_loss
+from tests.test_train_steps import TINY_CLIP, _caption_batch
+
+CFG = cfg_replace(Config(), TRAIN={"BATCH_SIZE": 4},
+                  TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 16})
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ClipWithRegionHead(TINY_CLIP)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32))
+    rng = np.random.default_rng(0)
+    ids, mask = _caption_batch(rng, 4, 16)
+    ids2, mask2 = _caption_batch(rng, 4, 16)
+    batch = {
+        "images": rng.standard_normal((4, 32, 32, 3)).astype(np.float32),
+        "ids": ids, "mask": mask, "ids_2": ids2, "mask_2": mask2,
+        "class_ids": np.asarray([0, 1, 2, 3], np.int32),
+    }
+    return model, variables, batch
+
+
+def test_tp_sharding_specs_cover_params(setup):
+    model, variables, _ = setup
+    mesh = make_mesh(jax.devices()[:4], axis_names=("data", "model"),
+                     shape=(2, 2))
+    shardings = clip_param_sharding(variables["params"], mesh)
+    specs = jax.tree.leaves(jax.tree.map(lambda s: str(s.spec), shardings))
+    # at least the attention/MLP kernels must actually shard
+    assert any("model" in s for s in specs)
+
+
+def test_tp_loss_matches_replicated(setup):
+    model, variables, batch = setup
+    mesh = make_mesh(jax.devices()[:4], axis_names=("data", "model"),
+                     shape=(2, 2))
+    loss_fn = jax.jit(make_damsm_loss(CFG, model))
+
+    ref, _ = loss_fn(variables["params"], batch)
+
+    sharded_params = shard_clip_params(variables["params"], mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data_sharding = NamedSharding(mesh, P("data"))
+    sharded_batch = {k: jax.device_put(np.asarray(v), data_sharding)
+                     for k, v in batch.items()}
+    out, _ = loss_fn(sharded_params, sharded_batch)
+    np.testing.assert_allclose(float(out), float(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_tp_grads_match_replicated(setup):
+    model, variables, batch = setup
+    mesh = make_mesh(jax.devices()[:4], axis_names=("data", "model"),
+                     shape=(2, 2))
+    loss_fn = make_damsm_loss(CFG, model)
+    grad_fn = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)[0]))
+
+    ref = grad_fn(variables["params"], batch)
+    sharded_params = shard_clip_params(variables["params"], mesh)
+    out = grad_fn(sharded_params, batch)
+    a = np.asarray(jax.device_get(
+        out["text_model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]))
+    b = np.asarray(
+        ref["text_model"]["layers_0"]["self_attn"]["q_proj"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
