@@ -59,6 +59,41 @@ class CheckpointManager:
         self._mgr.close()
 
 
+class GracefulShutdown:
+    """Preemption-safe stop flag.
+
+    The reference's only failure handling is a KeyboardInterrupt catch
+    (pretrain_DAMSM.py:498-500).  On managed TPU pools preemption arrives as
+    SIGTERM; installing this sets a flag the training loop checks so the
+    current step finishes, a checkpoint lands, and the process exits
+    cleanly — resume picks up from the same step.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self.requested = False
+        self._signal = _signal
+        sigs = signals if signals is not None else (_signal.SIGTERM,
+                                                    _signal.SIGINT)
+        self._prev = {}
+        for s in sigs:
+            try:
+                self._prev[s] = _signal.signal(s, self._handler)
+            except (ValueError, OSError):
+                pass  # non-main thread or unsupported signal
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def restore(self):
+        for s, prev in self._prev.items():
+            try:
+                self._signal.signal(s, prev)
+            except (ValueError, OSError):
+                pass
+
+
 def parse_epoch_from_path(path: str) -> int:
     """Epoch from a reference-style checkpoint name, e.g.
     ``.../netG_epoch_550.pth`` -> 550 (trainer.py:137-140)."""

@@ -28,7 +28,8 @@ from t2igan.data.tokenizer import ClipTokenizer
 from t2igan.models.clip import ClipConfig, ClipWithRegionHead
 from t2igan.ops.attention import word_region_attention
 from t2igan.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
-from t2igan.train.checkpoint import CheckpointManager, load_torch_clip
+from t2igan.train.checkpoint import (CheckpointManager, GracefulShutdown,
+                                     load_torch_clip)
 from t2igan.train.state import damsm_optimizer, init_damsm_state
 from t2igan.train.steps import make_damsm_loss, make_damsm_step
 from t2igan.utils.logging import MetricsLogger, StepTimer
@@ -122,6 +123,7 @@ class DamsmTrainer:
         epochs = max_epochs if max_epochs is not None else cfg.TRAIN.MAX_EPOCH
         timer = StepTimer(cfg.TRAIN.BATCH_SIZE)
         self.state = replicate(self.mesh, self.state)
+        stop = GracefulShutdown()
         for epoch in range(epochs):
             start = time.time()
             for batch in self.train_loader:
@@ -130,6 +132,8 @@ class DamsmTrainer:
                 timer.tick()
                 metrics["images_per_sec"] = timer.images_per_sec
                 self.logger.log(int(self.state.step), metrics)
+                if stop.requested:
+                    break
             val = self.evaluate()
             print(f"| end epoch {epoch:3d} | valid s_loss {val['s_loss']:5.2f}"
                   f" w_loss {val['w_loss']:5.2f} |"
@@ -138,6 +142,11 @@ class DamsmTrainer:
                     epoch == epochs - 1:
                 self.ckpt.save(int(self.state.step), self.state)
                 self._save_attention_figure(epoch)
+            if stop.requested:
+                print("Shutdown requested: checkpointing and exiting.")
+                self.ckpt.save(int(self.state.step), self.state, wait=True)
+                break
+        stop.restore()
         self.ckpt.wait()
         return self.state
 

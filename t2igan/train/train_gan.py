@@ -29,7 +29,7 @@ from t2igan.models.clip import ClipConfig, ClipWithRegionHead
 from t2igan.models.factory import build_discriminators, build_generator
 from t2igan.ops.image import resize_nearest
 from t2igan.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
-from t2igan.train.checkpoint import CheckpointManager
+from t2igan.train.checkpoint import CheckpointManager, GracefulShutdown
 from t2igan.train.pretrain_damsm import build_clip, make_dataset
 from t2igan.train.state import gan_optimizers, init_gan_state
 from t2igan.train.steps import make_gan_step, make_sampler
@@ -117,6 +117,7 @@ class CondGanTrainer:
         timer = StepTimer(cfg.TRAIN.BATCH_SIZE)
         rng = jax.random.PRNGKey(int(self.state.step) + 1)
         self.state = replicate(self.mesh, self.state)
+        stop = GracefulShutdown()
         for epoch in range(epochs):
             start = time.time()
             d_last = g_last = float("nan")
@@ -131,6 +132,8 @@ class CondGanTrainer:
                 d_last = sum(float(metrics[f"d_loss{i}"])
                              for i in range(len(self.d_models)))
                 g_last = float(metrics["g_loss"])
+                if stop.requested:
+                    break
             print(f"[{epoch}/{epochs}] Loss_D: {d_last:.2f} "
                   f"Loss_G: {g_last:.2f} Time: {time.time() - start:.2f}s")
             if epoch % cfg.TRAIN.SNAPSHOT_INTERVAL == 0 or \
@@ -143,6 +146,11 @@ class CondGanTrainer:
                     jax.device_get(self.state.g_ema_params),
                     jax.device_get(self.state.g_batch_stats))
                 self._save_sample_grid(epoch)
+            if stop.requested:
+                print("Shutdown requested: checkpointing and exiting.")
+                self.ckpt.save(int(self.state.step), self.state, wait=True)
+                break
+        stop.restore()
         self.ckpt.wait()
         return self.state
 
