@@ -29,8 +29,8 @@ def parse_args():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--mode", choices=["gen", "train", "damsm"],
-                   default="gen")
+    p.add_argument("--mode", choices=["gen", "geneval", "train", "damsm"],
+                   default="geneval")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     return p.parse_args()
 
@@ -55,7 +55,10 @@ def _enable_cpu_fallback():
         return None
 
 
-def bench_gen(args):
+def bench_gen(args, with_eval: bool = False):
+    """Text -> 256px image generation; with ``with_eval`` the FID
+    Inception-v3 pool3 feature extraction runs fused into the same jitted
+    program (the BASELINE 'gen+eval' headline path)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,9 +106,28 @@ def bench_gen(args):
     cp, gp = clip_vars["params"], g_vars["params"]
     gb = g_vars.get("batch_stats", {})
 
-    def run():
-        fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
-        return fakes[-1]
+    if with_eval:
+        from t2igan.models.inception import InceptionV3, preprocess
+        inception = InceptionV3(variant="fid", num_classes=1008,
+                                dtype=dtype)
+        if cpu is not None:
+            with jax.default_device(cpu):
+                inc_vars = inception.init(jax.random.PRNGKey(7),
+                                          jnp.zeros((1, 299, 299, 3)))
+            inc_vars = jax.device_put(inc_vars, jax.devices()[0])
+        else:
+            inc_vars = inception.init(jax.random.PRNGKey(7),
+                                      jnp.zeros((1, 299, 299, 3)))
+
+        @jax.jit
+        def run():
+            fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
+            img01 = (fakes[-1].astype(jnp.float32) + 1.0) * 0.5
+            return inception.apply(inc_vars, preprocess(img01))["pool3"]
+    else:
+        def run():
+            fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
+            return fakes[-1]
 
     for _ in range(args.warmup):
         run().block_until_ready()
@@ -239,6 +261,9 @@ def main():
     if args.mode == "gen":
         value = bench_gen(args)
         metric = "256x256 text-to-image generation"
+    elif args.mode == "geneval":
+        value = bench_gen(args, with_eval=True)
+        metric = "256x256 generation + FID inception features (gen+eval)"
     elif args.mode == "damsm":
         value = bench_damsm(args)
         print(json.dumps({

@@ -154,9 +154,12 @@ class NextStageG(nn.Module):
 
     @nn.compact
     def __call__(self, h_code: Array, word_embs: Array,
-                 pad_mask: Optional[Array], train: bool):
+                 pad_mask: Optional[Array], train: bool,
+                 return_attn: bool = True):
         """h_code: [B, H, W, ngf]; word_embs: [B, L, nef];
-        pad_mask: [B, L] bool, True at padding slots."""
+        pad_mask: [B, L] bool, True at padding slots.  With
+        ``return_attn=False`` the read dispatches to the fused Pallas
+        kernel and no attention map is produced."""
         b, hh, ww, c = h_code.shape
         L = word_embs.shape[1]
 
@@ -179,7 +182,8 @@ class NextStageG(nn.Module):
                                dtype=self.dtype, name="key")(memory))
         value = nn.relu(nn.Dense(self.ngf, kernel_init=ortho(),
                                  dtype=self.dtype, name="value")(memory))
-        mem_out, attn = memory_read(h_code, key, value, pad_mask)
+        mem_out, attn = memory_read(h_code, key, value, pad_mask,
+                                    return_attn=return_attn)
 
         # --- Key response (model.py:526-528) ---
         gate_in = jnp.concatenate([h_code, mem_out], axis=-1)
@@ -192,7 +196,9 @@ class NextStageG(nn.Module):
         for i in range(self.num_residual):
             h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
         out = UpBlock(self.ngf, self.dtype)(h_new, train)
-        return out, attn.reshape(b, hh, ww, L)
+        if attn is not None:
+            attn = attn.reshape(b, hh, ww, L)
+        return out, attn
 
 
 class GetImageG(nn.Module):
@@ -225,7 +231,7 @@ class GNet(nn.Module):
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
                  pad_mask: Optional[Array], train: bool = True,
-                 ca_eps: Optional[Array] = None):
+                 ca_eps: Optional[Array] = None, return_attn: bool = True):
         """Returns (fake_imgs, att_maps, mu, logvar).
 
         fake_imgs: list of [B, s, s, 3] in [-1, 1] for s in (64, 128, 256);
@@ -241,9 +247,11 @@ class GNet(nn.Module):
         for _ in range(1, self.branch_num):
             h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
                                       self.dtype)(h_code, word_embs,
-                                                  pad_mask, train)
+                                                  pad_mask, train,
+                                                  return_attn)
             fake_imgs.append(GetImageG(self.dtype)(h_code))
-            att_maps.append(attn)
+            if attn is not None:
+                att_maps.append(attn)
         return fake_imgs, att_maps, mu, logvar
 
 

@@ -85,7 +85,8 @@ def word_region_attention(words: jnp.ndarray,
 def memory_read(query_map: jnp.ndarray,
                 key: jnp.ndarray,
                 value: jnp.ndarray,
-                pad_mask: jnp.ndarray | None):
+                pad_mask: jnp.ndarray | None,
+                return_attn: bool = True):
     """DM-GAN gated-memory read: each pixel attends over word memory slots.
 
     Parity target: ``Memory.forward`` (model.py:406-452) with the *intended*
@@ -104,8 +105,17 @@ def memory_read(query_map: jnp.ndarray,
 
     Returns:
       read:  [B, H, W, C] value read-out per pixel.
-      attn:  [B, H, W, L] attention of each pixel over memory slots.
+      attn:  [B, H, W, L] attention of each pixel over memory slots, or
+        None when ``return_attn=False`` — that path dispatches to the fused
+        Pallas kernel on TPU backends, which keeps the attention tensor
+        entirely in VMEM (see ops/pallas/memory_read.py).
     """
+    if not return_attn:
+        backend = jax.default_backend()
+        if backend in ("tpu", "axon"):
+            from t2igan.ops.pallas.memory_read import memory_read_fused
+            return memory_read_fused(query_map, key, value, pad_mask), None
+
     b, h, w, c = query_map.shape
     q = query_map.reshape(b, h * w, c)
     logits = jnp.einsum("bqc,blc->bql", q, key,
@@ -114,4 +124,5 @@ def memory_read(query_map: jnp.ndarray,
     attn = masked_softmax(logits, keep, axis=-1)          # [B, HW, L]
     read = jnp.einsum("bql,blc->bqc", attn, value,
                       preferred_element_type=jnp.float32)
-    return read.reshape(b, h, w, c), attn.reshape(b, h, w, -1)
+    attn_maps = attn.reshape(b, h, w, -1) if return_attn else None
+    return read.reshape(b, h, w, c), attn_maps

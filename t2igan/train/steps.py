@@ -292,10 +292,15 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
     return step
 
 
-def make_sampler(cfg: Config, clip_model: ClipWithRegionHead, gen_model):
+def make_sampler(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
+                 return_attn: bool = False):
     """Jittable text -> image pyramid inference (the core of ``sampling()``,
     trainer.py:545-556): CLIP text encode then generator forward in eval
-    mode (running BN statistics, fixed CA noise)."""
+    mode (running BN statistics, fixed CA noise).
+
+    ``return_attn=False`` (the throughput path) routes the memory read
+    through the fused Pallas kernel and skips materializing attention maps;
+    visualization callers pass True."""
 
     def sample(clip_params, g_params, g_bstats, ids, mask, z, eps):
         words, sent = clip_model.apply(
@@ -303,7 +308,8 @@ def make_sampler(cfg: Config, clip_model: ClipWithRegionHead, gen_model):
             method=ClipWithRegionHead.encode_text_verbose)
         fakes, atts, _, _ = gen_model.apply(
             {"params": g_params, "batch_stats": g_bstats},
-            z, sent, words, mask == 0, False, eps)
+            z, sent, words, mask == 0, False, eps,
+            return_attn)
         return fakes, atts
 
     return jax.jit(sample)

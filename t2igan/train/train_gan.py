@@ -66,6 +66,7 @@ class CondGanTrainer:
                           self.d_models, g_tx, d_tx),
             donate_argnums=(0,))
         self.sampler = make_sampler(cfg, self.clip_model, self.gen_model)
+        self._sampler_attn = None  # built on demand for gen_example
 
         self.mesh = make_mesh_for_batch(cfg.TRAIN.BATCH_SIZE)
         self.model_dir = os.path.join(output_dir, "Model")
@@ -254,6 +255,10 @@ class CondGanTrainer:
         from t2igan.utils.viz import attention_grid
 
         cfg = self.cfg
+        if self._sampler_attn is None:
+            self._sampler_attn = make_sampler(cfg, self.clip_model,
+                                              self.gen_model,
+                                              return_attn=True)
         rng = jax.random.PRNGKey(0)
         for key, captions in captions_by_key.items():
             save_dir = os.path.join(self.output_dir, key)
@@ -264,7 +269,7 @@ class CondGanTrainer:
                 rng, rz, re = jax.random.split(rng, 3)
                 z = jax.random.normal(rz, (b, cfg.GAN.Z_DIM))
                 eps = jax.random.normal(re, (b, cfg.GAN.CONDITION_DIM))
-                fakes, atts = self.sampler(
+                fakes, atts = self._sampler_attn(
                     self.clip_params, self.state.g_ema_params,
                     self.state.g_batch_stats,
                     jnp.asarray(out["input_ids"]),
