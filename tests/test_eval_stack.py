@@ -176,3 +176,36 @@ def test_rprecision_plumbing(rng):
     mean, std = bootstrap_r_precision(flags)
     assert 0.45 < mean < 0.55
     assert std < 0.05
+
+
+def test_statistics_of_path_npz(tmp_path, rng):
+    """Precomputed-stats path of the FID CLI (fid_score.py:191-203)."""
+    from t2igan.evaluation.fid import frechet_distance, statistics_of_path
+
+    d = 8
+    a = rng.standard_normal((40, d))
+    mu, sigma = a.mean(0), np.cov(a, rowvar=False)
+    p = tmp_path / "stats.npz"
+    np.savez(p, mu=mu, sigma=sigma)
+    m2, s2 = statistics_of_path(str(p), activation_fn=None)
+    np.testing.assert_allclose(m2, mu)
+    assert abs(frechet_distance(mu, sigma, m2, s2)) < 1e-8
+
+
+def test_list_images_and_batches(tmp_path, rng):
+    from PIL import Image
+
+    from t2igan.evaluation.fid import image_batches, list_images
+
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    for i in range(5):
+        arr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(sub / f"img{i}.png")
+    (sub / "notes.txt").write_text("skip me")
+    files = list_images(str(tmp_path))
+    assert len(files) == 5
+    batches = list(image_batches(files, batch_size=2, size=32))
+    assert [b.shape for b in batches] == [(2, 32, 32, 3), (2, 32, 32, 3),
+                                          (1, 32, 32, 3)]
+    assert batches[0].max() <= 1.0 and batches[0].min() >= 0.0
