@@ -43,11 +43,11 @@ def _kernel(q_ref, k_ref, v_ref, keep_ref, out_ref):
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [T, L]
+        preferred_element_type=jnp.float32)             # [T, L] f32 accum
     logits = jnp.where(keep > 0, logits, NEG)
     logits = logits - jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits)
-    attn = e / jnp.sum(e, axis=1, keepdims=True)
+    attn = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
     out_ref[0] = jax.lax.dot_general(
         attn, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
@@ -76,10 +76,13 @@ def _forward(query_map, key, value, pad_mask, interpret):
     hwp = _round_up(hw, tile)
     lp = _round_up(l, 8)
 
-    q = query_map.reshape(b, hw, c).astype(jnp.float32)
+    # keep the model dtype (bf16 on the inference path): the matmuls
+    # accumulate in f32 via preferred_element_type, softmax runs in f32
+    dtype = query_map.dtype
+    q = query_map.reshape(b, hw, c)
     q = jnp.pad(q, ((0, 0), (0, hwp - hw), (0, 0)))
-    k = jnp.pad(key.astype(jnp.float32), ((0, 0), (0, lp - l), (0, 0)))
-    v = jnp.pad(value.astype(jnp.float32), ((0, 0), (0, lp - l), (0, 0)))
+    k = jnp.pad(key.astype(dtype), ((0, 0), (0, lp - l), (0, 0)))
+    v = jnp.pad(value.astype(dtype), ((0, 0), (0, lp - l), (0, 0)))
     if pad_mask is None:
         keep = jnp.ones((b, l), jnp.float32)
     else:
@@ -88,7 +91,7 @@ def _forward(query_map, key, value, pad_mask, interpret):
 
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, hwp, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hwp, c), dtype),
         grid=(b, hwp // tile),
         in_specs=[
             pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
