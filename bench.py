@@ -192,7 +192,8 @@ def bench_train(args):
     else:
         clip_vars, state = init_all()
 
-    step = jax.jit(make_gan_step(cfg, clip_model, gen, ds, g_tx, d_tx))
+    step = jax.jit(make_gan_step(cfg, clip_model, gen, ds, g_tx, d_tx),
+                   donate_argnums=(0,))
     b = args.batch
     rng = np.random.default_rng(0)
     ids = np.full((b, 77), clip_cfg.eos_token_id, np.int32)
@@ -249,7 +250,7 @@ def bench_damsm(args):
     else:
         state = init_all()
 
-    step = jax.jit(make_damsm_step(cfg, model, tx))
+    step = jax.jit(make_damsm_step(cfg, model, tx), donate_argnums=(0,))
     rng = np.random.default_rng(0)
     ids = np.full((b, 30), clip_cfg.eos_token_id, np.int32)
     batch = {
