@@ -132,11 +132,17 @@ def bench_gen(args, with_eval: bool = False):
             inc_vars = inception.init(jax.random.PRNGKey(7),
                                       jnp.zeros((1, 299, 299, 3)))
 
+        # params must be jit ARGUMENTS, not closure constants — constants are
+        # serialized into the uploaded HLO and blow the remote-compile
+        # request limit.
         @jax.jit
-        def run():
+        def run_eval(cp, gp, gb, inc):
             fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
             img01 = (fakes[-1].astype(jnp.float32) + 1.0) * 0.5
-            return inception.apply(inc_vars, preprocess(img01))["pool3"]
+            return inception.apply(inc, preprocess(img01))["pool3"]
+
+        def run():
+            return run_eval(cp, gp, gb, inc_vars)
     else:
         def run():
             fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
