@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--max_epochs", type=int, default=None,
                    help="override TRAIN.MAX_EPOCH (smoke runs)")
     p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="model computation dtype (params stay f32)")
     return p.parse_args()
 
 
@@ -71,7 +73,9 @@ def main():
 
     from t2igan.train.train_gan import CondGanTrainer
     split = "train" if cfg.TRAIN.FLAG else "test"
-    trainer = CondGanTrainer(cfg, output_dir, split=split)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    trainer = CondGanTrainer(cfg, output_dir, split=split, dtype=dtype)
     if cfg.TRAIN.FLAG:
         trainer.train(max_epochs=args.max_epochs)
     elif cfg.B_VALIDATION:

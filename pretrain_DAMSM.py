@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--max_epochs", type=int, default=None,
                    help="override TRAIN.MAX_EPOCH (smoke runs)")
     p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="model computation dtype (params stay f32)")
     return p.parse_args()
 
 
@@ -50,7 +52,9 @@ def main():
     output_dir = args.output_dir or \
         f"./output/{cfg.DATASET_NAME}_{cfg.CONFIG_NAME}/"
     from t2igan.train.pretrain_damsm import DamsmTrainer
-    trainer = DamsmTrainer(cfg, output_dir)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    trainer = DamsmTrainer(cfg, output_dir, dtype=dtype)
     trainer.train(max_epochs=args.max_epochs)
 
 

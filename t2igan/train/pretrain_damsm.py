@@ -40,11 +40,11 @@ DAMSM_WORDS_NUM = 30
 
 
 def build_clip(cfg: Config, clip_cfg: Optional[ClipConfig] = None,
-               rng=None):
+               rng=None, dtype=None):
     """CLIP model + variables: torch checkpoint if configured and present
     (main.py:145-156 semantics), otherwise fresh initialization."""
     clip_cfg = clip_cfg or ClipConfig()
-    model = ClipWithRegionHead(clip_cfg)
+    model = ClipWithRegionHead(clip_cfg, dtype=dtype or jnp.float32)
     ckpt = cfg.TRAIN.CLIP_MODEL_CHECKPOINT
     if ckpt and os.path.isfile(ckpt) and ckpt.endswith((".pth", ".pt")):
         variables = load_torch_clip(ckpt)
@@ -76,7 +76,7 @@ def make_dataset(cfg: Config, split: str):
 class DamsmTrainer:
     def __init__(self, cfg: Config, output_dir: str,
                  clip_cfg: Optional[ClipConfig] = None,
-                 words_num: int = DAMSM_WORDS_NUM):
+                 words_num: int = DAMSM_WORDS_NUM, dtype=None):
         self.cfg = cfg
         self.output_dir = output_dir
         self.words_num = words_num
@@ -92,7 +92,7 @@ class DamsmTrainer:
             self.val_ds, self.tokenizer, cfg.TRAIN.BATCH_SIZE,
             words_num, shuffle=True, num_workers=max(1, cfg.WORKERS))
 
-        self.clip_model, clip_vars = build_clip(cfg, clip_cfg)
+        self.clip_model, clip_vars = build_clip(cfg, clip_cfg, dtype=dtype)
         self.tx = damsm_optimizer(cfg, steps_per_epoch=len(self.train_loader))
         self.state = init_damsm_state(cfg, clip_vars, self.tx)
 

@@ -41,8 +41,11 @@ from t2igan.utils.viz import save_image_grid, tanh_to01
 class CondGanTrainer:
     def __init__(self, cfg: Config, output_dir: str,
                  clip_cfg: Optional[ClipConfig] = None,
-                 split: str = "train"):
+                 split: str = "train", dtype=None):
+        """``dtype``: computation dtype for the models (params stay f32);
+        jnp.bfloat16 halves HBM traffic and doubles MXU rate on TPU."""
         self.cfg = cfg
+        dtype = dtype or jnp.float32
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
 
@@ -53,10 +56,10 @@ class CondGanTrainer:
             cfg.TEXT.WORDS_NUM, shuffle=cfg.TRAIN.FLAG,
             num_workers=max(1, cfg.WORKERS))
 
-        self.clip_model, clip_vars = build_clip(cfg, clip_cfg)
+        self.clip_model, clip_vars = build_clip(cfg, clip_cfg, dtype=dtype)
         self.clip_params = clip_vars["params"]
-        self.gen_model = build_generator(cfg)
-        self.d_models = build_discriminators(cfg)
+        self.gen_model = build_generator(cfg, dtype=dtype)
+        self.d_models = build_discriminators(cfg, dtype=dtype)
         g_tx, d_tx = gan_optimizers(cfg)
         self.state = init_gan_state(cfg, self.gen_model, self.d_models,
                                     jax.random.PRNGKey(0))
