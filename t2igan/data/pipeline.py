@@ -58,6 +58,32 @@ def collate(records, tokenizer: ClipTokenizer, words_num: int) -> Batch:
     )
 
 
+def prefetch_to_device(batch_iter, put_fn, depth: int = 2):
+    """Overlap host->device transfer with compute: keep ``depth`` batches
+    already device-put ahead of the consumer.
+
+    ``put_fn`` maps a host :class:`Batch` to device arrays (e.g. the
+    trainer's ``_device_batch``).  The TPU analogue of torch DataLoader's
+    pinned-memory prefetch.
+    """
+    import collections
+
+    queue = collections.deque()
+    it = iter(batch_iter)
+    try:
+        for _ in range(depth):
+            queue.append(put_fn(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class DataLoader:
     """Shuffling, drop-last, prefetching batch iterator."""
 

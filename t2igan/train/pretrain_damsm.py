@@ -22,7 +22,7 @@ import numpy as np
 
 from t2igan.config import Config
 from t2igan.data.dataset import TextImageDataset
-from t2igan.data.pipeline import Batch, DataLoader
+from t2igan.data.pipeline import Batch, DataLoader, prefetch_to_device
 from t2igan.data.synthetic import SyntheticDataset
 from t2igan.data.tokenizer import ClipTokenizer
 from t2igan.models.clip import ClipConfig, ClipWithRegionHead
@@ -126,9 +126,9 @@ class DamsmTrainer:
         stop = GracefulShutdown()
         for epoch in range(epochs):
             start = time.time()
-            for batch in self.train_loader:
-                self.state, metrics = self.step_fn(
-                    self.state, self._device_batch(batch))
+            for dev_batch in prefetch_to_device(self.train_loader,
+                                                self._device_batch):
+                self.state, metrics = self.step_fn(self.state, dev_batch)
                 timer.tick()
                 metrics["images_per_sec"] = timer.images_per_sec
                 self.logger.log(int(self.state.step), metrics)

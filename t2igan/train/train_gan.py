@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from t2igan.config import Config
-from t2igan.data.pipeline import Batch, DataLoader
+from t2igan.data.pipeline import Batch, DataLoader, prefetch_to_device
 from t2igan.data.tokenizer import ClipTokenizer
 from t2igan.models.clip import ClipConfig, ClipWithRegionHead
 from t2igan.models.factory import build_discriminators, build_generator
@@ -125,11 +125,11 @@ class CondGanTrainer:
         for epoch in range(epochs):
             start = time.time()
             d_last = g_last = float("nan")
-            for batch in self.loader:
+            for dev_batch in prefetch_to_device(self.loader,
+                                                self._device_batch):
                 rng, sub = jax.random.split(rng)
                 self.state, metrics = self.step_fn(
-                    self.state, self.clip_params,
-                    self._device_batch(batch), sub)
+                    self.state, self.clip_params, dev_batch, sub)
                 timer.tick()
                 metrics["images_per_sec"] = timer.images_per_sec
                 self.logger.log(int(self.state.step), metrics)

@@ -105,3 +105,12 @@ def test_text_dataset_reads_reference_pickles(tmp_path):
     assert len(mis) == 3
     assert all(m in ("red bird", "blue wing", "red wing", "blue bird")
                for m in mis)
+
+
+def test_prefetch_to_device_preserves_order(loader):
+    from t2igan.data.pipeline import prefetch_to_device
+
+    direct = [b.keys for b in iter(loader)]
+    loader.epoch = 0  # reset shuffle epoch for identical order
+    prefetched = [b.keys for b in prefetch_to_device(loader, lambda b: b)]
+    assert prefetched == direct
