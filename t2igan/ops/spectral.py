@@ -85,12 +85,14 @@ class SNConv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+        # no preferred_element_type: TPU accumulates bf16 convs in f32
+        # internally, and a widened output dtype breaks the conv VJP under
+        # mixed precision (cotangent/kernel dtype mismatch).
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel_bar,
             window_strides=(self.strides, self.strides),
             padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", jax.nn.initializers.zeros,
                               (self.features,), jnp.float32)

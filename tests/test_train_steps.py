@@ -160,3 +160,28 @@ def test_gan_step_data_parallel(gan_setup):
     np.testing.assert_allclose(float(metrics["g_loss"]),
                                float(metricsu["g_loss"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gan_step_bf16_models(clip_setup):
+    """Mixed-precision step: bf16 compute, f32 params — losses stay finite
+    and parameters update."""
+    clip_model_f32, clip_vars = clip_setup
+    from t2igan.models.clip import ClipWithRegionHead
+
+    clip_model = ClipWithRegionHead(TINY_CLIP, dtype=jnp.bfloat16)
+    gen = build_generator(CFG, dtype=jnp.bfloat16)
+    ds = build_discriminators(CFG, dtype=jnp.bfloat16)
+    g_tx, d_tx = gan_optimizers(CFG)
+    state = init_gan_state(CFG, gen, ds, jax.random.PRNGKey(1))
+    step = jax.jit(make_gan_step(CFG, clip_model, gen, ds, g_tx, d_tx))
+    batch = _gan_batch(np.random.default_rng(5))
+    state2, metrics = step(state, clip_vars["params"], batch,
+                           jax.random.PRNGKey(2))
+    for k in ("g_loss", "d_loss0", "d_loss1", "kl_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # params remain f32
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(state2.g_params))
+    moved = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                         state.g_params, state2.g_params)
+    assert max(jax.tree.leaves(moved)) > 0
