@@ -172,14 +172,15 @@ def bench_train(args):
     from t2igan.train.steps import make_gan_step
 
     cpu = _enable_cpu_fallback()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     cfg = cfg_replace(Config(),
                       GAN={"GF_DIM": 64, "DF_DIM": 32, "R_NUM": 2},
                       TEXT={"EMBEDDING_DIM": 512, "WORDS_NUM": 77},
                       TRAIN={"BATCH_SIZE": args.batch})
     clip_cfg = ClipConfig()
-    clip_model = ClipWithRegionHead(clip_cfg)
-    gen = build_generator(cfg)
-    ds = build_discriminators(cfg)
+    clip_model = ClipWithRegionHead(clip_cfg, dtype=dtype)
+    gen = build_generator(cfg, dtype=dtype)
+    ds = build_discriminators(cfg, dtype=dtype)
     g_tx, d_tx = gan_optimizers(cfg)
 
     def init_all():
@@ -294,7 +295,8 @@ def main():
         return
     elif args.mode == "train":
         value = bench_train(args)
-        metric = "full adversarial train step (batch %d)" % args.batch
+        metric = ("full adversarial train step (batch %d, %s)"
+                  % (args.batch, args.dtype))
         print(json.dumps({"metric": metric, "value": round(value, 3),
                           "unit": "steps/sec", "vs_baseline": None}))
         return
