@@ -51,11 +51,15 @@ def build_clip(cfg: Config, clip_cfg: Optional[ClipConfig] = None,
         print(f"Loaded CLIP weights from torch checkpoint: {ckpt}")
         return model, variables
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(
-        rng,
-        jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3)),
-        jnp.zeros((1, clip_cfg.max_positions), jnp.int32),
-        jnp.ones((1, clip_cfg.max_positions), jnp.int32))
+    from t2igan.utils.hostinit import host_init, put_default
+    with host_init() as on_host:
+        variables = model.init(
+            rng,
+            jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3)),
+            jnp.zeros((1, clip_cfg.max_positions), jnp.int32),
+            jnp.ones((1, clip_cfg.max_positions), jnp.int32))
+    if on_host:
+        variables = put_default(variables)
     if ckpt:
         print(f"WARNING: CLIP checkpoint {ckpt!r} not found; "
               "starting from random initialization.")

@@ -61,8 +61,12 @@ class CondGanTrainer:
         self.gen_model = build_generator(cfg, dtype=dtype)
         self.d_models = build_discriminators(cfg, dtype=dtype)
         g_tx, d_tx = gan_optimizers(cfg)
-        self.state = init_gan_state(cfg, self.gen_model, self.d_models,
-                                    jax.random.PRNGKey(0))
+        from t2igan.utils.hostinit import host_init, put_default
+        with host_init() as on_host:
+            self.state = init_gan_state(cfg, self.gen_model, self.d_models,
+                                        jax.random.PRNGKey(0))
+        if on_host:
+            self.state = put_default(self.state)
         # donate the state so G/D/optimizer buffers update in place on-device
         self.step_fn = jax.jit(
             make_gan_step(cfg, self.clip_model, self.gen_model,
