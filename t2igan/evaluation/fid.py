@@ -15,7 +15,7 @@ general ``sqrtm`` on host.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, List, Optional, Tuple
+from typing import Iterable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ scores are comparable.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ always uses running statistics.  NHWC layout.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

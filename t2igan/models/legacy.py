@@ -19,14 +19,13 @@ features, exactly the reference's choice (model.py:296-309).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from t2igan.models.inception import InceptionV3
-from t2igan.ops.attention import masked_softmax
 
 Array = jnp.ndarray
 

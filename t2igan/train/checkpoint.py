@@ -19,7 +19,6 @@ import os
 import re
 from typing import Any, Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -19,7 +19,7 @@ values, pct_start and div factors.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, List
 
 import flax
 import jax

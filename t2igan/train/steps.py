@@ -34,7 +34,6 @@ TPU-first redesign notes:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Tuple
 
 import jax

@@ -25,7 +25,7 @@ import numpy as np
 from t2igan.config import Config
 from t2igan.data.pipeline import Batch, DataLoader, prefetch_to_device
 from t2igan.data.tokenizer import ClipTokenizer
-from t2igan.models.clip import ClipConfig, ClipWithRegionHead
+from t2igan.models.clip import ClipConfig
 from t2igan.models.factory import build_discriminators, build_generator
 from t2igan.ops.image import resize_nearest
 from t2igan.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
