@@ -27,15 +27,19 @@ Array = jnp.ndarray
 
 
 def make_activation_fn(variables, variant: str = "fid"):
-    """Jitted [0,1]-NHWC image batch -> 2048-d pool3 activations."""
+    """Jitted [0,1]-NHWC image batch -> 2048-d pool3 activations.
+
+    Weights enter the jit as an argument (bound in a wrapper): closure
+    constants are serialized into the HLO upload and can exceed the axon
+    remote-compile request limit."""
     model = InceptionV3(variant=variant,
                         num_classes=1008 if variant == "fid" else 1000)
 
     @jax.jit
-    def run(x01):
+    def run(variables, x01):
         return model.apply(variables, preprocess(x01))["pool3"]
 
-    return run
+    return lambda x01: run(variables, x01)
 
 
 def compute_statistics(activation_fn, batches: Iterable[np.ndarray]

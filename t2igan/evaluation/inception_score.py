@@ -28,7 +28,7 @@ def make_pred_fn(variables):
     model = InceptionV3(variant="torchvision", num_classes=1000)
 
     @jax.jit
-    def run(x01):
+    def run(variables, x01):
         b, _, _, c = x01.shape
         x = jax.image.resize(x01, (b, 32, 32, c), method="bilinear")
         x = 2.0 * x - 1.0
@@ -36,7 +36,9 @@ def make_pred_fn(variables):
         logits = model.apply(variables, x)["logits"]
         return jax.nn.softmax(logits, axis=-1)
 
-    return run
+    # weights as jit argument (not closure constant): keeps the HLO upload
+    # under the axon remote-compile limit
+    return lambda x01: run(variables, x01)
 
 
 def inception_score_from_preds(preds: np.ndarray,

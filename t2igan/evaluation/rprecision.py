@@ -27,9 +27,14 @@ Array = jnp.ndarray
 def make_rank_fn(clip_model: ClipWithRegionHead, clip_variables):
     """Jitted: (images01 [B,S,S,3] in [-1,1] generator output resized to the
     CLIP input size, true ids/mask [B,W], mis ids/mask [B,99,W]) -> [B] bool
-    hit flags."""
+    hit flags.
 
-    def run(images, ids_true, mask_true, ids_mis, mask_mis):
+    CLIP parameters enter the jitted function as an argument (bound via a
+    thin wrapper) rather than a closure constant: closure constants are
+    serialized into the HLO upload and exceed the axon remote-compile
+    request limit for a full CLIP."""
+
+    def run(clip_variables, images, ids_true, mask_true, ids_mis, mask_mis):
         b, n_mis, w = ids_mis.shape
         _, img_code = clip_model.apply(
             clip_variables, images,
@@ -50,7 +55,13 @@ def make_rank_fn(clip_model: ClipWithRegionHead, clip_variables):
         scores = jnp.einsum("bd,bnd->bn", img_n, cand_n)
         return jnp.argmax(scores, axis=-1) == 0
 
-    return jax.jit(run)
+    jitted = jax.jit(run)
+
+    def bound(images, ids_true, mask_true, ids_mis, mask_mis):
+        return jitted(clip_variables, images, ids_true, mask_true,
+                      ids_mis, mask_mis)
+
+    return bound
 
 
 def bootstrap_r_precision(hits: np.ndarray, n_groups: int = 10,
