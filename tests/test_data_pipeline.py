@@ -114,3 +114,39 @@ def test_prefetch_to_device_preserves_order(loader):
     loader.epoch = 0  # reset shuffle epoch for identical order
     prefetched = [b.keys for b in prefetch_to_device(loader, lambda b: b)]
     assert prefetched == direct
+
+
+def test_clip_token_dataset(tmp_path):
+    """ClipTokenDataset yields pre-tokenized fixed-width records
+    (datasets.py:119-392 semantics)."""
+    import pickle
+
+    from t2igan.data.clip_dataset import ClipTokenDataset
+    from t2igan.data.tokenizer import ClipTokenizer
+
+    data_dir = tmp_path / "fake"
+    (data_dir / "train").mkdir(parents=True)
+    with open(data_dir / "captions.pickle", "wb") as f:
+        pickle.dump([["a red bird", "a blue bird",
+                      "small bird with long tail", "bird"], []], f,
+                    protocol=2)
+    with open(data_dir / "train" / "filenames.pickle", "wb") as f:
+        pickle.dump(["img_a", "img_b"], f, protocol=2)
+
+    from t2igan.config import cfg_replace
+    cfg = cfg_replace(CFG, DATA_DIR=str(data_dir),
+                      TEXT={"CAPTIONS_PER_IMAGE": 2, "WORDS_NUM": 12})
+    ds = ClipTokenDataset.__new__(ClipTokenDataset)
+    # initialize without image loading by reusing the parent init pieces
+    from t2igan.data.dataset import TextImageDataset
+    TextImageDataset.__init__(ds, cfg, "train")
+    ds.tokenizer = ClipTokenizer.fallback()
+    ds.words_num = 12
+
+    ids, mask, n = ds._tokenized(0)
+    assert ids.shape == (12,) and mask.shape == (12,)
+    assert mask.sum() == n and n <= 12
+    assert ids[0] == ds.tokenizer.bos_id
+    # long caption triggers ordered subsampling
+    ids2, mask2, n2 = ds._tokenized(2)
+    assert n2 == 12 and mask2.sum() == 12
