@@ -114,19 +114,133 @@ def _forward(query_map, key, value, pad_mask, interpret):
     return out[:, :hw].reshape(b, h, w, c)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, keep_ref, dout_ref,
+                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+    """Flash-style backward: recompute the tile's attention, then
+
+        dv += attn^T dout;  ds = attn * (dout v^T - rowsum);  dq = ds k;
+        dk += ds^T q
+
+    dk/dv accumulate in f32 scratch across the pixel-tile grid dimension
+    (scratch persists across sequential grid steps on a TensorCore) and are
+    written out on the final tile.  No attention tensor ever reaches HBM —
+    the jnp VJP would store/rematerialize [B, HW, L] twice.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    keep = keep_ref[0]
+    dout = dout_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits = jnp.where(keep > 0, logits, NEG)
+    logits = logits - jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits)
+    attn = e / jnp.sum(e, axis=1, keepdims=True)          # [T, L] f32
+
+    dattn = jax.lax.dot_general(
+        dout, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [T, L]
+    ds = attn * (dattn - jnp.sum(attn * dattn, axis=1, keepdims=True))
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+
+    dv_tile = jax.lax.dot_general(
+        attn, dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [L, C]
+    dk_tile = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [L, C]
+
+    @pl.when(j == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    dk_acc[...] += dk_tile
+    dv_acc[...] += dv_tile
+
+    @pl.when(j == n_j - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _backward(query_map, key, value, pad_mask, dout, interpret):
+    b, h, w, c = query_map.shape
+    l = key.shape[1]
+    hw = h * w
+    tile = min(512, hw)
+    hwp = _round_up(hw, tile)
+    lp = _round_up(l, 8)
+
+    dtype = query_map.dtype
+    q = jnp.pad(query_map.reshape(b, hw, c), ((0, 0), (0, hwp - hw), (0, 0)))
+    k = jnp.pad(key.astype(dtype), ((0, 0), (0, lp - l), (0, 0)))
+    v = jnp.pad(value.astype(dtype), ((0, 0), (0, lp - l), (0, 0)))
+    g = jnp.pad(dout.reshape(b, hw, c), ((0, 0), (0, hwp - hw), (0, 0)))
+    if pad_mask is None:
+        keep = jnp.ones((b, l), jnp.float32)
+    else:
+        keep = 1.0 - pad_mask.astype(jnp.float32)
+    keep = jnp.pad(keep, ((0, 0), (0, lp - l)))[:, None, :]
+
+    dq, dk, dv = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hwp, c), dtype),
+            jax.ShapeDtypeStruct((b, lp, c), dtype),
+            jax.ShapeDtypeStruct((b, lp, c), dtype),
+        ),
+        grid=(b, hwp // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((lp, c), jnp.float32),
+            pltpu.VMEM((lp, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, keep, g)
+
+    dq = dq[:, :hw].reshape(b, h, w, c).astype(query_map.dtype)
+    dk = dk[:, :l].astype(key.dtype)
+    dv = dv[:, :l].astype(value.dtype)
+    return dq, dk, dv
+
+
 def _fwd(query_map, key, value, pad_mask, interpret):
     out = _forward(query_map, key, value, pad_mask, interpret)
     return out, (query_map, key, value, pad_mask)
 
 
 def _bwd(interpret, residuals, g):
-    from t2igan.ops.attention import memory_read
-
     query_map, key, value, pad_mask = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v: memory_read(q, k, v, pad_mask)[0],
-        query_map, key, value)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _backward(query_map, key, value, pad_mask, g, interpret)
     return dq, dk, dv, None
 
 

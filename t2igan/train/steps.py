@@ -152,9 +152,12 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
         return jax.lax.stop_gradient(words), jax.lax.stop_gradient(sent)
 
     def generate(g_params, g_bstats, z, sent, words, pad_mask, eps):
+        # return_attn=False: the memory read runs through the fused Pallas
+        # kernel (fwd + flash-style bwd) — no [B, HW, L] attention tensor in
+        # HBM in either direction.
         (fakes, _, mu, logvar), upd = gen_model.apply(
             {"params": g_params, "batch_stats": g_bstats},
-            z, sent, words, pad_mask, True, eps,
+            z, sent, words, pad_mask, True, eps, False,
             mutable=["batch_stats"])
         return fakes, mu, logvar, upd["batch_stats"]
 

@@ -62,3 +62,16 @@ def test_non_tile_multiple_pixels(rng):
     fused = memory_read_fused(q, k, v, None, True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_grads_zero_at_padding(data):
+    """Padded memory slots must receive zero key/value gradients."""
+    q, k, v, pad = data
+
+    def loss(k, v):
+        return jnp.sum(memory_read_fused(q, k, v, pad, True) ** 2)
+
+    dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+    pad_np = np.asarray(pad)
+    assert np.abs(np.asarray(dk)[pad_np]).max() < 1e-6
+    assert np.abs(np.asarray(dv)[pad_np]).max() < 1e-6
