@@ -13,7 +13,7 @@ generator: ~55 GFLOP/image forward at fp32 on a 15.7 TFLOP/s V100 at an
 optimistic 40% utilization ≈ 115 images/sec.  The north-star target
 (BASELINE.json) is >=5x that per chip.
 
-Flags: --batch, --iters, --mode {gen,train,damsm}, --dtype {f32,bf16}.
+Flags: --batch, --iters, --mode {gen,geneval,train,damsm}, --dtype {f32,bf16}.
 """
 
 import argparse
@@ -26,7 +26,7 @@ V100_REFERENCE_IMGS_PER_SEC = 115.0
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--mode", choices=["gen", "geneval", "train", "damsm"],
