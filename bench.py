@@ -237,11 +237,12 @@ def bench_damsm(args):
 
     cpu = _enable_cpu_fallback()
     b = args.batch
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     cfg = cfg_replace(Config(),
                       TREE={"BRANCH_NUM": 1, "BASE_SIZE": 224},
                       TRAIN={"BATCH_SIZE": b})
     clip_cfg = ClipConfig()
-    model = ClipWithRegionHead(clip_cfg)
+    model = ClipWithRegionHead(clip_cfg, dtype=dtype)
     tx = damsm_optimizer(cfg, steps_per_epoch=100)
 
     def init_all():
@@ -289,7 +290,8 @@ def main():
     elif args.mode == "damsm":
         value = bench_damsm(args)
         print(json.dumps({
-            "metric": "DAMSM CLIP fine-tune step (batch %d)" % args.batch,
+            "metric": ("DAMSM CLIP fine-tune step (batch %d, %s)"
+                       % (args.batch, args.dtype)),
             "value": round(value, 3), "unit": "steps/sec",
             "vs_baseline": None}))
         return
