@@ -269,7 +269,7 @@ class GDCGan(nn.Module):
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
                  pad_mask: Optional[Array], train: bool = True,
-                 ca_eps: Optional[Array] = None):
+                 ca_eps: Optional[Array] = None, return_attn: bool = True):
         ngf = self.gf_dim
         att_maps = []
         c_code, mu, logvar = CANet(self.condition_dim, self.dtype)(
@@ -278,7 +278,9 @@ class GDCGan(nn.Module):
         for _ in range(1, self.branch_num):
             h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
                                       self.dtype)(h_code, word_embs,
-                                                  pad_mask, train)
-            att_maps.append(attn)
+                                                  pad_mask, train,
+                                                  return_attn)
+            if attn is not None:
+                att_maps.append(attn)
         img = GetImageG(self.dtype)(h_code)
         return [img], att_maps, mu, logvar
