@@ -127,7 +127,12 @@ def attention_match_scores(words: Array, regions: Array,
 
 
 def _use_fused_kernel() -> bool:
-    """Pick the Pallas matching-score kernel on TPU backends."""
+    """Pick the Pallas matching-score kernel on TPU backends
+    (``T2IGAN_FUSED_DAMSM=0`` disables it for A/B measurements)."""
+    import os
+
+    if os.environ.get("T2IGAN_FUSED_DAMSM", "1") == "0":
+        return False
     backend = jax.default_backend()
     return backend in ("tpu", "axon")
 

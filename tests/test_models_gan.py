@@ -141,3 +141,26 @@ def test_factory_builds_from_config():
     ds = build_discriminators(cfg)
     assert [d.img_size for d in ds] == [64, 128, 256]
     assert all(d.b_jcu for d in ds)
+
+
+def test_gdcgan_single_output(rng):
+    """B_DCGAN variant: one RGB head at the final scale (model.py:601-641)."""
+    from t2igan.models.generator import GDCGan
+
+    m = GDCGan(gf_dim=8, nef=16, condition_dim=8, branch_num=2,
+               num_residual=1)
+    z = jnp.zeros((2, 16))
+    sent = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    words = jnp.asarray(rng.standard_normal((2, 6, 16)).astype(np.float32))
+    pad = jnp.zeros((2, 6), bool)
+    eps = jnp.zeros((2, 8))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "gaussian": jax.random.PRNGKey(1)},
+               z, sent, words, pad, False, eps)
+    imgs, atts, mu, lv = m.apply(v, z, sent, words, pad, False, eps)
+    assert len(imgs) == 1 and imgs[0].shape == (2, 128, 128, 3)
+    assert len(atts) == 1
+    imgs2, atts2, _, _ = m.apply(v, z, sent, words, pad, False, eps, False)
+    assert len(atts2) == 0  # return_attn=False
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(imgs2[0]),
+                               rtol=1e-5, atol=1e-6)
