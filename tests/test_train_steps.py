@@ -185,3 +185,29 @@ def test_gan_step_bf16_models(clip_setup):
     moved = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
                          state.g_params, state2.g_params)
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_damsm_step_data_parallel(clip_setup):
+    """DAMSM step under Mesh('data'): sharded result equals single-device."""
+    model, variables = clip_setup
+    tx = damsm_optimizer(CFG, steps_per_epoch=10)
+    state = init_damsm_state(CFG, variables, tx)
+    step = jax.jit(make_damsm_step(CFG, model, tx))
+
+    rng = np.random.default_rng(3)
+    b = 8
+    ids, mask = _caption_batch(rng, b, 16)
+    ids2, mask2 = _caption_batch(rng, b, 16)
+    batch = {
+        "images": rng.standard_normal((b, 32, 32, 3)).astype(np.float32),
+        "ids": ids, "mask": mask, "ids_2": ids2, "mask_2": mask2,
+        "class_ids": np.arange(b, dtype=np.int32),
+    }
+    _, ref = step(state, batch)
+
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, batch)
+    state_r = replicate(mesh, state)
+    _, out = step(state_r, sharded)
+    np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]),
+                               rtol=2e-4, atol=2e-4)
