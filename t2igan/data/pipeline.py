@@ -89,7 +89,14 @@ class DataLoader:
 
     def __init__(self, dataset, tokenizer: ClipTokenizer, batch_size: int,
                  words_num: int, shuffle: bool = True, drop_last: bool = True,
-                 num_workers: int = 2, prefetch: int = 2, seed: int = 0):
+                 num_workers: int = 2, prefetch: int = 2, seed: int = 0,
+                 host_index: Optional[int] = None,
+                 host_count: Optional[int] = None):
+        """``host_index``/``host_count`` shard the dataset across hosts for
+        multi-host training (each host feeds its local devices its slice of
+        the global batch); default to the jax process topology.  Shuffles
+        use the same seed on every host, so the global epoch order is a
+        consistent permutation."""
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.batch_size = batch_size
@@ -100,18 +107,35 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        if host_index is None or host_count is None:
+            try:
+                import jax
+                host_index = jax.process_index()
+                host_count = jax.process_count()
+            except Exception:
+                host_index, host_count = 0, 1
+        self.host_index = host_index
+        self.host_count = host_count
+
+    def _host_slice(self, idx: np.ndarray) -> np.ndarray:
+        if self.host_count <= 1:
+            return idx
+        per = len(idx) // self.host_count
+        start = self.host_index * per
+        return idx[start:start + per]
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._host_slice(np.arange(len(self.dataset))))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
-        n = len(self.dataset)
-        idx = np.arange(n)
+        idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        idx = self._host_slice(idx)
+        n = len(idx)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for s in range(0, stop, self.batch_size):
             yield idx[s:s + self.batch_size]

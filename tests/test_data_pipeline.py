@@ -150,3 +150,19 @@ def test_clip_token_dataset(tmp_path):
     # long caption triggers ordered subsampling
     ids2, mask2, n2 = ds._tokenized(2)
     assert n2 == 12 and mask2.sum() == 12
+
+
+def test_multihost_sharding_partitions_data():
+    """Each host sees a disjoint slice; together they cover the epoch."""
+    ds = SyntheticDataset(CFG, size=24)
+    tok = ClipTokenizer.fallback()
+    keys = []
+    for host in range(3):
+        loader = DataLoader(ds, tok, batch_size=4, words_num=16,
+                            shuffle=True, seed=5, host_index=host,
+                            host_count=3)
+        assert len(loader) == 2  # 24 / 3 hosts / batch 4
+        for b in loader:
+            keys.extend(b.keys)
+    assert len(keys) == 24
+    assert len(set(keys)) == 24
