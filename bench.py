@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Headline benchmark: 256x256 text->image generation throughput per chip.
+"""Headline benchmark: 256x256 gen+eval throughput per chip.
 
-Runs the flagship inference path (CLIP ViT-B/32 text encode -> cascaded
-DM-GAN generator 64->128->256) on the available accelerator and prints ONE
-JSON line:
+Default mode runs the flagship inference path (CLIP ViT-B/32 text encode ->
+cascaded DM-GAN generator 64->128->256 -> FID Inception-v3 pool3 features,
+one fused jitted program) on the available accelerator and prints ONE JSON
+line:
 
     {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
