@@ -109,3 +109,29 @@ def test_cfg_replace():
     cfg2 = cfg_replace(cfg, TRAIN={"BATCH_SIZE": 8})
     assert cfg2.TRAIN.BATCH_SIZE == 8
     assert cfg.TRAIN.BATCH_SIZE == 64
+
+
+def test_coco_config_drives_model_shapes():
+    """COCO run config wires R_NUM=3 and 5 captions/image into the models
+    (cfg/clip_coco_DMGAN.yml values)."""
+    from t2igan.models.factory import build_discriminators, build_generator
+
+    cfg = cfg_from_file(os.path.join(CONFIG_DIR, "clip_coco_dmgan.yml"))
+    g = build_generator(cfg)
+    assert g.num_residual == 3
+    assert g.gf_dim == 64 and g.nef == 512
+    ds = build_discriminators(cfg)
+    assert [d.img_size for d in ds] == [64, 128, 256]
+    assert cfg.TEXT.CAPTIONS_PER_IMAGE == 5
+
+
+def test_reference_yaml_drives_factory_if_present():
+    """The reference's own YAML must produce the same model family."""
+    ref = "/root/reference/DMGAN+CLIP/code/cfg/clip_bird_DMGAN.yml"
+    if not os.path.isfile(ref):
+        pytest.skip("reference not mounted")
+    from t2igan.models.factory import build_generator
+
+    cfg = cfg_from_file(ref)
+    g = build_generator(cfg)
+    assert g.gf_dim == 64 and g.num_residual == 2 and g.branch_num == 3
