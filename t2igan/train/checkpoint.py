@@ -100,14 +100,37 @@ def parse_epoch_from_path(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _load_torch_sd(path: str):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
 def load_torch_clip(path: str):
     """Load a reference ``clip%d.pth`` torch checkpoint into flax variables
     (cross-framework resume).  Requires torch for unpickling."""
-    import torch
-
     from t2igan.models.clip import convert_torch_clip_state
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-          for k, v in sd.items()}
-    return convert_torch_clip_state(sd)
+    return convert_torch_clip_state(_load_torch_sd(path))
+
+
+def load_torch_generator(path: str, branch_num: int = 3,
+                         num_residual: int = 2, dcgan: bool = False):
+    """Load a reference ``netG_epoch_%d.pth`` (EMA generator weights,
+    trainer.py:189-200) into :class:`GNet` flax variables."""
+    from t2igan.models.convert import convert_torch_generator_state
+
+    return convert_torch_generator_state(
+        _load_torch_sd(path), branch_num=branch_num,
+        num_residual=num_residual, dcgan=dcgan)
+
+
+def load_torch_discriminator(path: str, img_size: int):
+    """Load a reference ``netD%d.pth`` (trainer.py:195-198) into
+    :class:`DNetWithHeads` flax variables."""
+    from t2igan.models.convert import convert_torch_discriminator_state
+
+    return convert_torch_discriminator_state(_load_torch_sd(path),
+                                             img_size=img_size)

@@ -92,6 +92,32 @@ class CondGanTrainer:
                                             g_params=ema,
                                             g_batch_stats=stats)
             print(f"Loaded generator export: {net_g}")
+        elif net_g and os.path.isfile(net_g) and net_g.endswith(".pth"):
+            # Cross-framework migration: ingest the reference's torch
+            # deliverables — netG_epoch_%d.pth holds the EMA weights and
+            # sibling netD%d.pth files sit next to it (trainer.py:137-154).
+            from t2igan.train.checkpoint import (load_torch_discriminator,
+                                                 load_torch_generator)
+            gv = load_torch_generator(net_g, branch_num=cfg.TREE.BRANCH_NUM,
+                                      num_residual=cfg.GAN.R_NUM,
+                                      dcgan=cfg.GAN.B_DCGAN)
+            self.state = self.state.replace(
+                g_params=gv["params"], g_ema_params=gv["params"],
+                g_batch_stats=gv.get("batch_stats", {}))
+            print(f"Loaded torch generator checkpoint: {net_g}")
+            if cfg.TRAIN.B_NET_D:
+                d_dir = os.path.dirname(net_g)
+                d_params = list(self.state.d_params)
+                d_spec = list(self.state.d_spectral)
+                for i, size in enumerate(cfg.branch_sizes):
+                    d_path = os.path.join(d_dir, f"netD{i}.pth")
+                    if os.path.isfile(d_path):
+                        dv = load_torch_discriminator(d_path, img_size=size)
+                        d_params[i] = dv["params"]
+                        d_spec[i] = dv.get("spectral", {})
+                        print(f"Loaded torch discriminator: {d_path}")
+                self.state = self.state.replace(d_params=d_params,
+                                                d_spectral=d_spec)
         else:
             resume_dir = net_g or self.model_dir
             if os.path.isdir(resume_dir):
