@@ -88,9 +88,12 @@ class CondGanTrainer:
         if net_g and os.path.isfile(net_g) and net_g.endswith(".npz"):
             from t2igan.train.export import load_generator
             ema, stats = load_generator(net_g)
-            self.state = self.state.replace(g_ema_params=ema,
-                                            g_params=ema,
-                                            g_batch_stats=stats)
+            # g_params and g_ema_params must NOT alias: the jitted step
+            # donates the state, and XLA rejects donating one buffer twice.
+            self.state = self.state.replace(
+                g_ema_params=ema,
+                g_params=jax.tree.map(jnp.array, ema),
+                g_batch_stats=stats)
             print(f"Loaded generator export: {net_g}")
         elif net_g and os.path.isfile(net_g) and net_g.endswith(".pth"):
             # Cross-framework migration: ingest the reference's torch
@@ -101,8 +104,10 @@ class CondGanTrainer:
             gv = load_torch_generator(net_g, branch_num=cfg.TREE.BRANCH_NUM,
                                       num_residual=cfg.GAN.R_NUM,
                                       dcgan=cfg.GAN.B_DCGAN)
+            # distinct copies: the donated train state may not alias buffers
             self.state = self.state.replace(
-                g_params=gv["params"], g_ema_params=gv["params"],
+                g_params=gv["params"],
+                g_ema_params=jax.tree.map(jnp.array, gv["params"]),
                 g_batch_stats=gv.get("batch_stats", {}))
             print(f"Loaded torch generator checkpoint: {net_g}")
             if cfg.TRAIN.B_NET_D:
