@@ -25,8 +25,9 @@ def parse_args():
                    help="generated-dir real-dir (overrides --data presets)")
     p.add_argument("--batch_size", type=int, default=50)
     p.add_argument("--dims", type=int, default=2048,
-                   help="accepted for CLI parity; the pool3 (2048) tap is "
-                        "used for the score")
+                   choices=[64, 192, 768, 2048],
+                   help="feature tap: 64/192/768/2048 map to the same "
+                        "blocks as pytorch-fid (inception.py:24-29)")
     p.add_argument("--inception_ckpt", type=str,
                    default=os.environ.get("T2IGAN_INCEPTION_CKPT", ""))
     return p.parse_args()
@@ -62,7 +63,8 @@ def main():
                                        make_activation_fn)
     variables = load_inception_variables(args.inception_ckpt)
     fid = calculate_fid_given_paths(
-        paths, make_activation_fn(variables), args.batch_size)
+        paths, make_activation_fn(variables, dims=args.dims),
+        args.batch_size)
     print("FID: ", fid)
 
 

@@ -26,18 +26,31 @@ from t2igan.models.inception import InceptionV3, preprocess
 Array = jnp.ndarray
 
 
-def make_activation_fn(variables, variant: str = "fid"):
-    """Jitted [0,1]-NHWC image batch -> 2048-d pool3 activations.
+# dims -> feature tap, mirroring pytorch-fid's BLOCK_INDEX_BY_DIM
+# (inception.py:24-29); spatial taps are adaptive-avg-pooled to vectors
+# exactly as fid_score.py:101-102 does.
+TAP_BY_DIM = {64: "pool1", 192: "pool2", 768: "mixed6e", 2048: "pool3"}
+
+
+def make_activation_fn(variables, variant: str = "fid", dims: int = 2048):
+    """Jitted [0,1]-NHWC image batch -> ``dims``-d activations.
 
     Weights enter the jit as an argument (bound in a wrapper): closure
     constants are serialized into the HLO upload and can exceed the axon
-    remote-compile request limit."""
+    remote-compile request limit.  XLA dead-code-eliminates the layers
+    past the selected tap, so shallow taps also run faster."""
+    if dims not in TAP_BY_DIM:
+        raise ValueError(f"--dims must be one of {sorted(TAP_BY_DIM)}")
+    tap = TAP_BY_DIM[dims]
     model = InceptionV3(variant=variant,
                         num_classes=1008 if variant == "fid" else 1000)
 
     @jax.jit
     def run(variables, x01):
-        return model.apply(variables, preprocess(x01))["pool3"]
+        feat = model.apply(variables, preprocess(x01))[tap]
+        if feat.ndim == 4:  # spatial tap -> global average pool
+            feat = jnp.mean(feat, axis=(1, 2))
+        return feat
 
     return lambda x01: run(variables, x01)
 
@@ -106,17 +119,29 @@ def list_images(path: str) -> List[str]:
 
 def image_batches(files: List[str], batch_size: int, size: int = 299):
     """Decode to [0,1] float NHWC batches (fid_score.py ImagePathDataset +
-    ToTensor).  Decoding resizes on host to bound transfer size; the
-    [-1,1] rescale happens on device in :func:`preprocess`."""
+    ToTensor).
+
+    Protocol fidelity: pytorch-fid feeds native-resolution tensors and the
+    model resizes internally with torch bilinear, no antialias
+    (inception.py:143-147).  We apply the *same* kernel
+    (:func:`resize_bilinear_torch_np`) per image on host — one resample
+    from native resolution, identical arithmetic — so arbitrary native
+    sizes batch into one static device shape (XLA needs static shapes; the
+    reference itself crashes on mixed-size dirs with batch>1).  The device
+    :func:`preprocess` resize is then an exact identity."""
     from PIL import Image
+
+    from t2igan.ops.image import resize_bilinear_torch_np
 
     for s in range(0, len(files), batch_size):
         chunk = files[s:s + batch_size]
         imgs = []
         for f in chunk:
-            im = Image.open(f).convert("RGB").resize((size, size),
-                                                     Image.BILINEAR)
-            imgs.append(np.asarray(im, np.float32) / 255.0)
+            im = Image.open(f).convert("RGB")
+            arr = np.asarray(im, np.float32) / 255.0
+            if arr.shape[:2] != (size, size):
+                arr = resize_bilinear_torch_np(arr, size, size)
+            imgs.append(arr)
         yield np.stack(imgs)
 
 

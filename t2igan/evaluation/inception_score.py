@@ -2,9 +2,11 @@
 
 Parity target: ``inception_score.py:20-118``: torchvision Inception-v3
 softmax predictions, per-split ``exp(mean KL(p(y|x) || p(y)))`` over 10
-splits; the reference's input pipeline downscales to 32 px before the model
-upsamples to 299 (inception_score.py:62-79) and we reproduce that quirk so
-scores are comparable.
+splits.  The reference's transform chain is original -> Scale(32) (PIL
+bilinear) -> Normalize(.5) -> torch-bilinear upsample to 299
+(inception_score.py:62-79); we reproduce it with exactly the same two
+resamples (PIL on host, the torch kernel on device) so scores are
+comparable.
 """
 
 from __future__ import annotations
@@ -15,24 +17,52 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from t2igan.evaluation.fid import image_batches, list_images
+from t2igan.evaluation.fid import list_images
 from t2igan.models.inception import InceptionV3
+from t2igan.ops.image import resize_bilinear_torch
+
+
+def scale32_batches(files: List[str], batch_size: int, size: int = 32):
+    """Host half of the reference IS transform chain
+    (inception_score.py:62-66): PIL decode at native resolution ->
+    ``transforms.Scale(32)`` (shorter side to 32, PIL BILINEAR — the same
+    library call, so bit-identical) -> [0,1] float.  The reference only
+    ever feeds square generated images, so batches are (32, 32)."""
+    from PIL import Image
+
+    for s in range(0, len(files), batch_size):
+        imgs = []
+        for f in files[s:s + batch_size]:
+            im = Image.open(f).convert("RGB")
+            w, h = im.size
+            if w <= h:
+                out = (size, max(1, round(h * size / w)))
+            else:
+                out = (max(1, round(w * size / h)), size)
+            im = im.resize(out, Image.BILINEAR)
+            imgs.append(np.asarray(im, np.float32) / 255.0)
+        shapes = {a.shape for a in imgs}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"mixed post-Scale(32) shapes {shapes}: the IS protocol "
+                "expects uniformly-sized (square) generated images")
+        yield np.stack(imgs)
 
 
 def make_pred_fn(variables):
-    """Jitted [0,1] NHWC batch -> softmax class probabilities.
+    """Jitted [0,1] NHWC 32px batch -> softmax class probabilities.
 
-    Matches the reference transform chain: Scale(32) ->
-    Normalize(.5, .5) (=> [-1,1]) -> bilinear upsample to 299
-    (inception_score.py:62-79)."""
+    Device half of the reference chain (inception_score.py:62-79):
+    Normalize(.5, .5) (=> [-1,1]) -> ``nn.Upsample((299, 299),
+    'bilinear')`` — the torch kernel, no antialias — -> torchvision
+    inception_v3 -> softmax.  Exactly two resamples from the original
+    image, matching the reference (original -> 32 -> 299)."""
     model = InceptionV3(variant="torchvision", num_classes=1000)
 
     @jax.jit
     def run(variables, x01):
-        b, _, _, c = x01.shape
-        x = jax.image.resize(x01, (b, 32, 32, c), method="bilinear")
-        x = 2.0 * x - 1.0
-        x = jax.image.resize(x, (b, 299, 299, c), method="bilinear")
+        x = 2.0 * x01 - 1.0
+        x = resize_bilinear_torch(x, 299, 299)
         logits = model.apply(variables, x)["logits"]
         return jax.nn.softmax(logits, axis=-1)
 
@@ -61,6 +91,6 @@ def inception_score(path: str, variables, batch_size: int = 32,
     if not files:
         raise ValueError(f"no images under {path}")
     preds: List[np.ndarray] = []
-    for batch in image_batches(files, batch_size, size=299):
+    for batch in scale32_batches(files, batch_size):
         preds.append(np.asarray(pred_fn(jnp.asarray(batch))))
     return inception_score_from_preds(np.concatenate(preds), splits)

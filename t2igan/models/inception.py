@@ -217,10 +217,14 @@ class InceptionV3(nn.Module):
 
 
 def preprocess(x01: Array, size: int = 299) -> Array:
-    """[0,1] NHWC -> bilinear resize to 299 and rescale to [-1, 1]
-    (inception.py:143-150)."""
-    b, _, _, c = x01.shape
-    x = jax.image.resize(x01, (b, size, size, c), method="bilinear")
+    """[0,1] NHWC -> bilinear resize to 299 and rescale to [-1, 1],
+    with the exact torch kernel (``F.interpolate(..., mode='bilinear',
+    align_corners=False)``, inception.py:143-150 — NO antialias; an
+    already-299 input passes through untouched since the interpolation
+    matrix is then the identity)."""
+    from t2igan.ops.image import resize_bilinear_torch
+
+    x = resize_bilinear_torch(x01, size, size)
     return 2.0 * x - 1.0
 
 

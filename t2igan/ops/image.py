@@ -42,6 +42,66 @@ def resize_bilinear(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return jax.image.resize(x, (b, size, size, c), method="bilinear")
 
 
+# ---------------------------------------------------------------------------
+# torch-exact bilinear resize (no antialias)
+# ---------------------------------------------------------------------------
+#
+# ``jax.image.resize(method="bilinear")`` antialiases on downscale (TF2
+# semantics); torch's ``F.interpolate(mode='bilinear',
+# align_corners=False)`` — the resize inside pytorch-fid's InceptionV3
+# (reference inception.py:143-147) and the IS script's ``nn.Upsample``
+# (inception_score.py:74) — does not.  For eval-metric bit-fidelity we
+# implement the torch kernel exactly: half-pixel source mapping
+# ``src = (i + 0.5) * in/out - 0.5`` clamped at 0, two-tap lerp.  Because
+# each output row/col is a fixed 2-tap linear combination of input
+# rows/cols, the whole resize is two small matmuls — which XLA maps
+# straight onto the MXU, faster than a gather-based lowering.
+
+def _linear_resize_matrix(in_size: int, out_size: int):
+    """[out, in] f32 interpolation matrix for torch bilinear
+    (align_corners=False), exact for up- and downscaling."""
+    import numpy as np
+
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    scale = in_size / out_size
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    # torch clamps the source index at 0 (area_pixel_compute_source_index)
+    src = np.maximum(src, 0.0)
+    i0 = np.floor(src).astype(np.int64)
+    frac = src - i0
+    i0 = np.clip(i0, 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), (1.0 - frac).astype(np.float32))
+    np.add.at(m, (rows, i1), frac.astype(np.float32))
+    return m
+
+
+def resize_bilinear_torch(x: jnp.ndarray, out_h: int,
+                          out_w: int) -> jnp.ndarray:
+    """NHWC resize matching ``F.interpolate(x, (out_h, out_w),
+    mode='bilinear', align_corners=False)`` exactly (no antialias)."""
+    _, h, w, _ = x.shape
+    mh = jnp.asarray(_linear_resize_matrix(h, out_h), dtype=x.dtype)
+    mw = jnp.asarray(_linear_resize_matrix(w, out_w), dtype=x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, y)
+
+
+def resize_bilinear_torch_np(img, out_h: int, out_w: int):
+    """Host (numpy) twin of :func:`resize_bilinear_torch` for a single HWC
+    image — used by the eval input pipelines to bring arbitrary native
+    resolutions to one static device shape with the same arithmetic."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    mh = _linear_resize_matrix(h, out_h)
+    mw = _linear_resize_matrix(w, out_w)
+    return np.einsum("oh,hwc,pw->opc", mh, img.astype(np.float32), mw)
+
+
 def clip_normalize(x01: jnp.ndarray) -> jnp.ndarray:
     """Normalize [0,1] RGB to CLIP statistics (datasets.py:403-406)."""
     mean = jnp.asarray(CLIP_MEAN, dtype=x01.dtype)

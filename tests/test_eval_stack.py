@@ -209,3 +209,30 @@ def test_list_images_and_batches(tmp_path, rng):
     assert [b.shape for b in batches] == [(2, 32, 32, 3), (2, 32, 32, 3),
                                           (1, 32, 32, 3)]
     assert batches[0].max() <= 1.0 and batches[0].min() >= 0.0
+
+
+@pytest.mark.parametrize("shape", [(256, 256, 299, 299), (500, 375, 299, 299),
+                                   (32, 32, 299, 299), (64, 48, 32, 32)])
+def test_resize_bilinear_torch_matches_interpolate(rng, shape):
+    """resize_bilinear_torch == F.interpolate(bilinear, align_corners=False)
+    — the kernel pytorch-fid resizes with (inception.py:143-147).  The
+    residual is torch computing source coords in f32 vs our f64."""
+    from t2igan.ops.image import resize_bilinear_torch, resize_bilinear_torch_np
+
+    h, w, oh, ow = shape
+    x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)), (oh, ow),
+                        mode="bilinear", align_corners=False)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(resize_bilinear_torch(jnp.asarray(x), oh, ow))
+    np.testing.assert_allclose(got, ref, atol=3e-4)
+    got_np = np.stack([resize_bilinear_torch_np(im, oh, ow) for im in x])
+    np.testing.assert_allclose(got_np, ref, atol=3e-4)
+
+
+def test_resize_bilinear_torch_identity_at_same_size(rng):
+    x = rng.standard_normal((1, 299, 299, 3)).astype(np.float32)
+    from t2igan.ops.image import resize_bilinear_torch
+
+    np.testing.assert_array_equal(
+        np.asarray(resize_bilinear_torch(jnp.asarray(x), 299, 299)), x)
