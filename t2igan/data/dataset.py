@@ -248,3 +248,17 @@ class TextImageDataset:
                 continue
             out.append(self._random_caption(idx))
         return out
+
+    def caption_bank(self):
+        """Every caption in the split with its class id, for building the
+        tokenized mis-caption pool once (the R-precision sweep otherwise
+        re-tokenizes B×99 captions per batch; trainer.py:578-613 protocol
+        draws random other-class captions, which this bank reproduces by
+        index sampling instead of host BPE calls).
+
+        Returns (captions: List[str], caption_class: np.ndarray [N])."""
+        n_caps = len(self.captions)
+        caps = [self.caption_text(i) for i in range(n_caps)]
+        cls = np.asarray([int(self.class_id[i // self.embeddings_num])
+                          for i in range(n_caps)], np.int64)
+        return caps, cls

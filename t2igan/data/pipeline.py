@@ -140,6 +140,21 @@ class DataLoader:
         for s in range(0, stop, self.batch_size):
             yield idx[s:s + self.batch_size]
 
+    def peek(self) -> Optional[Batch]:
+        """A deterministic probe batch that does NOT consume loader state.
+
+        Snapshot/figure helpers previously did ``next(iter(loader))``, which
+        bumps the epoch counter and shifts every subsequent shuffle — runs
+        stopped being reproducible across snapshot intervals.  ``peek``
+        collates the first ``batch_size`` records in dataset order: fixed
+        across calls, epochs and snapshot cadence.
+        """
+        n = min(self.batch_size, len(self.dataset))
+        if n == 0:
+            return None
+        records = [self.dataset[i] for i in range(n)]
+        return collate(records, self.tokenizer, self.words_num)
+
     def __iter__(self) -> Iterator[Batch]:
         from concurrent.futures import ThreadPoolExecutor
 

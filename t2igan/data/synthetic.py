@@ -58,3 +58,10 @@ class SyntheticDataset:
             rng = np.random.default_rng((self.seed, idx, 1))
             out.append(self._caption(rng))
         return out
+
+    def caption_bank(self):
+        """One caption per sample with its class id (same draw as
+        ``mis_captions``), for the tokenized mis-caption pool."""
+        caps = [self._caption(np.random.default_rng((self.seed, i, 1)))
+                for i in range(self.n)]
+        return caps, self.class_id.astype(np.int64)

@@ -64,6 +64,45 @@ def make_rank_fn(clip_model: ClipWithRegionHead, clip_variables):
     return bound
 
 
+class MisCaptionBank:
+    """Tokenized mis-caption pool for the 30k-query R-precision protocol.
+
+    The reference draws 99 random other-class captions per image and
+    BPE-tokenizes them on the spot (trainer.py:587-603, datasets.py:635-661)
+    — ~3M host tokenizer calls per sweep.  Here every caption in the split is
+    tokenized ONCE; per query, mis-captions are a numpy index gather from
+    per-class complement pools, so the sweep's wall-clock is device-bound.
+
+    Sampling is with replacement over the complement — the same distribution
+    as the reference's rejection loop.
+    """
+
+    def __init__(self, dataset, tokenizer, words_num: int, seed: int = 100):
+        caps, cls = dataset.caption_bank()
+        out = tokenizer(caps, max_length=words_num)
+        self.ids = np.asarray(out["input_ids"], np.int32)      # [N, W]
+        self.mask = np.asarray(out["attention_mask"], np.int32)
+        self.cls = np.asarray(cls, np.int64)                   # [N]
+        self.words_num = words_num
+        self._complement: dict = {}
+        self._rng = np.random.default_rng(seed)
+
+    def _comp(self, cls_id: int) -> np.ndarray:
+        comp = self._complement.get(cls_id)
+        if comp is None:
+            comp = np.flatnonzero(self.cls != cls_id)
+            self._complement[cls_id] = comp
+        return comp
+
+    def sample(self, class_ids, n_mis: int = 99):
+        """(ids [B, n_mis, W], mask [B, n_mis, W]) of other-class captions."""
+        rows = np.empty((len(class_ids), n_mis), np.int64)
+        for i, cls in enumerate(class_ids):
+            comp = self._comp(int(cls))
+            rows[i] = comp[self._rng.integers(0, len(comp), n_mis)]
+        return self.ids[rows], self.mask[rows]
+
+
 def bootstrap_r_precision(hits: np.ndarray, n_groups: int = 10,
                           group_size: int = 3000,
                           seed: int = 0) -> Tuple[float, float]:

@@ -259,3 +259,67 @@ def convert_torch_discriminator_state(state_dict: Mapping,
 
     return {"params": jax.tree.map(jnp.asarray, params),
             "spectral": jax.tree.map(jnp.asarray, spectral)}
+
+
+def convert_torch_rnn_encoder_state(state_dict: Mapping,
+                                    rnn_type: str = "LSTM") -> Tree:
+    """Map a reference ``RNN_ENCODER`` state_dict (model.py:140-221) onto
+    :class:`t2igan.models.legacy.RnnEncoder` variables.
+
+    The torch module is a single-layer bidirectional ``nn.LSTM``/``nn.GRU``
+    (batch_first) over an ``nn.Embedding``; flax splits each direction into
+    a scanned cell with per-gate dense layers.  Gate packing:
+
+    * torch LSTM ``weight_ih_l0`` rows are (i, f, g, o) chunks; flax
+      ``OptimizedLSTMCell`` has ``ii/if/ig/io`` input kernels (no bias) and
+      ``hi/hf/hg/ho`` recurrent kernels whose bias absorbs
+      ``b_ih + b_hh`` (both add into the same pre-activation).
+    * torch GRU rows are (r, z, n); flax ``GRUCell`` has ``ir/iz/in``
+      (with bias) and ``hr/hz/hn`` (bias only on ``hn``).  The reset/update
+      gates add ``b_ir + b_hr`` into one pre-activation, so both fold into
+      the ``i*`` bias; the candidate keeps them separate because torch
+      computes ``n = tanh(W_in x + b_in + r * (W_hn h + b_hn))`` — exactly
+      flax's form with ``in.bias = b_in`` and ``hn.bias = b_hn``.
+
+    ``_reverse`` weights land in the second cell (the ``reverse=True`` RNN).
+    """
+    sd = _strip(state_dict)
+    params: Tree = {"Embed_0": {"embedding": sd["encoder.weight"]}}
+
+    def lstm_cell(suffix):
+        w_ih, w_hh = sd[f"rnn.weight_ih_l0{suffix}"], sd[f"rnn.weight_hh_l0{suffix}"]
+        b = sd[f"rnn.bias_ih_l0{suffix}"] + sd[f"rnn.bias_hh_l0{suffix}"]
+        h = w_hh.shape[1]
+        cell = {}
+        for gi, g in enumerate("ifgo"):
+            rows = slice(gi * h, (gi + 1) * h)
+            cell[f"i{g}"] = {"kernel": np.ascontiguousarray(w_ih[rows].T)}
+            cell[f"h{g}"] = {"kernel": np.ascontiguousarray(w_hh[rows].T),
+                             "bias": b[rows]}
+        return cell
+
+    def gru_cell(suffix):
+        w_ih, w_hh = sd[f"rnn.weight_ih_l0{suffix}"], sd[f"rnn.weight_hh_l0{suffix}"]
+        b_ih, b_hh = sd[f"rnn.bias_ih_l0{suffix}"], sd[f"rnn.bias_hh_l0{suffix}"]
+        h = w_hh.shape[1]
+        cell = {}
+        for gi, g in enumerate("rzn"):
+            rows = slice(gi * h, (gi + 1) * h)
+            ib = b_ih[rows] if g == "n" else b_ih[rows] + b_hh[rows]
+            cell[f"i{g}"] = {"kernel": np.ascontiguousarray(w_ih[rows].T),
+                             "bias": ib}
+            hk = {"kernel": np.ascontiguousarray(w_hh[rows].T)}
+            if g == "n":
+                hk["bias"] = b_hh[rows]
+            cell[f"h{g}"] = hk
+        return cell
+
+    if rnn_type == "LSTM":
+        params["OptimizedLSTMCell_0"] = lstm_cell("")
+        params["OptimizedLSTMCell_1"] = lstm_cell("_reverse")
+    elif rnn_type == "GRU":
+        params["GRUCell_0"] = gru_cell("")
+        params["GRUCell_1"] = gru_cell("_reverse")
+    else:
+        raise ValueError(f"unsupported rnn_type {rnn_type!r}")
+    return {"params": jax.tree.map(jnp.asarray, params)}

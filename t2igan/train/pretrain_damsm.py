@@ -174,9 +174,10 @@ class DamsmTrainer:
         from t2igan.losses.damsm import strip_special_tokens
         from t2igan.utils.viz import attention_grid, denormalize_clip
 
-        try:
-            batch = next(iter(self.val_loader))
-        except StopIteration:
+        # side-effect-free probe batch: snapshot cadence must not perturb
+        # the validation loader's shuffle order
+        batch = self.val_loader.peek()
+        if batch is None:
             return
         variables = {"params": self.state.clip_params}
         subr, _ = self.clip_model.apply(

@@ -130,11 +130,14 @@ def make_damsm_step(cfg: Config, clip_model: ClipWithRegionHead, tx):
 # ---------------------------------------------------------------------------
 
 def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
-                  d_models: List[Any], g_tx, d_tx):
+                  d_models: List[Any], g_tx, d_tx,
+                  ema_decay: float = 0.999):
     """Build the jittable adversarial step.
 
     ``(state, clip_params, batch, rng) -> (state, metrics)`` where ``batch``
-    holds the image pyramid and both caption views.
+    holds the image pyramid and both caption views.  ``ema_decay`` defaults
+    to the reference's G-EMA mixing rate (trainer.py:436-437); short
+    overfit harnesses pass a smaller horizon.
     """
     g1 = cfg.TRAIN.SMOOTH.GAMMA1
     g2 = cfg.TRAIN.SMOOTH.GAMMA2
@@ -273,7 +276,7 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
         g_upds, g_opt = g_tx.update(g_grads, state.g_opt_state,
                                     state.g_params)
         g_params = optax.apply_updates(state.g_params, g_upds)
-        ema = ema_update(state.g_ema_params, g_params, 0.999)
+        ema = ema_update(state.g_ema_params, g_params, ema_decay)
 
         metrics["g_loss"] = g_loss
         for k in ("g_adv", "w_loss", "s_loss", "kl_loss", "contrastive"):

@@ -195,10 +195,11 @@ class CondGanTrainer:
 
     def _save_sample_grid(self, tag):
         """Fixed-noise sample sheet (the role of save_img_results,
-        trainer.py:207-247), generated from the EMA weights."""
-        try:
-            batch = next(iter(self.loader))
-        except StopIteration:
+        trainer.py:207-247), generated from the EMA weights.  Uses the
+        loader's side-effect-free probe batch so snapshot cadence never
+        perturbs the training shuffle order."""
+        batch = self.loader.peek()
+        if batch is None:
             return
         b = batch.input_ids.shape[0]
         z = jax.random.normal(jax.random.PRNGKey(42), (b, self.cfg.GAN.Z_DIM))
@@ -231,6 +232,7 @@ class CondGanTrainer:
 
         hits = []
         rng = jax.random.PRNGKey(100)  # eval seed pinned (main.py:115-116)
+        self._build_miscaption_bank(words_eval)
         for round_i in range(num_rounds):
             for batch in self.loader:
                 b = batch.input_ids.shape[0]
@@ -262,14 +264,20 @@ class CondGanTrainer:
         print(f"R mean:{mean:.4f} std:{std:.4f} (n={len(hits)})")
         return mean, std
 
+    def _build_miscaption_bank(self, words_num: int):
+        """Tokenize every caption in the split ONCE (evaluation.rprecision.
+        MisCaptionBank): per batch, mis-captions become a numpy index gather
+        instead of B×99 host BPE calls, keeping the 30k-query sweep
+        device-bound."""
+        if getattr(self, "_mis_bank", None) is None or \
+                self._mis_bank.words_num != words_num:
+            from t2igan.evaluation.rprecision import MisCaptionBank
+            self._mis_bank = MisCaptionBank(self.dataset, self.tokenizer,
+                                            words_num)
+
     def _mis_caption_batch(self, class_ids, words_num, n_mis: int = 99):
-        ids = np.zeros((len(class_ids), n_mis, words_num), np.int32)
-        mask = np.zeros_like(ids)
-        for i, cls in enumerate(class_ids):
-            caps = self.dataset.mis_captions(int(cls), n=n_mis)
-            out = self.tokenizer(caps, max_length=words_num)
-            ids[i] = out["input_ids"]
-            mask[i] = out["attention_mask"]
+        self._build_miscaption_bank(words_num)
+        ids, mask = self._mis_bank.sample(class_ids, n_mis)
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def _save_singles(self, finest, keys, save_dir, round_i):

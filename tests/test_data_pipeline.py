@@ -166,3 +166,59 @@ def test_multihost_sharding_partitions_data():
             keys.extend(b.keys)
     assert len(keys) == 24
     assert len(set(keys)) == 24
+
+
+def test_peek_is_deterministic_and_side_effect_free(loader):
+    """peek() must not consume loader state: the epoch shuffle order seen by
+    iteration is identical whether or not probe batches were taken."""
+    probe1 = loader.peek()
+    probe2 = loader.peek()
+    assert probe1.keys == probe2.keys
+    np.testing.assert_array_equal(probe1.input_ids, probe2.input_ids)
+    # record the first two epochs' batch orders with peeks interleaved
+    order_a = [b.keys for b in loader] + [b.keys for b in loader]
+    fresh = DataLoader(loader.dataset, loader.tokenizer, batch_size=4,
+                       words_num=30, seed=7)
+    loader.peek()
+    order_b = [b.keys for b in fresh] + [b.keys for b in fresh]
+    assert order_a == order_b
+    # probe batch is dataset-order, independent of shuffle seed
+    assert probe1.keys == [loader.dataset[i].key for i in range(4)]
+
+
+def test_caption_bank_classes_align():
+    ds = SyntheticDataset(CFG, size=12)
+    caps, cls = ds.caption_bank()
+    assert len(caps) == 12 and cls.shape == (12,)
+    np.testing.assert_array_equal(cls, ds.class_id)
+    assert all(isinstance(c, str) and c for c in caps)
+
+
+def test_text_dataset_caption_bank(tmp_path):
+    """caption_bank over the reference pickle layout: one entry per caption,
+    class repeated embeddings_num times."""
+    data_dir = tmp_path / "fake"
+    (data_dir / "train").mkdir(parents=True)
+    caps_train = [["a", "small", "bird"], ["bright", "red", "wings"],
+                  ["a", "blue", "bird"], ["long", "tail"]]
+    ixtoword = {}
+    wordtoix = {}
+    for c in caps_train:
+        for w in c:
+            if w not in wordtoix:
+                wordtoix[w] = len(wordtoix)
+                ixtoword[wordtoix[w]] = w
+    enc = [[wordtoix[w] for w in c] for c in caps_train]
+    with open(data_dir / "captions.pickle", "wb") as f:
+        pickle.dump([enc, enc, ixtoword, wordtoix], f)
+    with open(data_dir / "train" / "filenames.pickle", "wb") as f:
+        pickle.dump(["img0", "img1"], f)
+    with open(data_dir / "train" / "class_info.pickle", "wb") as f:
+        pickle.dump([3, 5], f)
+    cfg = cfg_replace(CFG, DATA_DIR=str(data_dir),
+                      TEXT={"CAPTIONS_PER_IMAGE": 2})
+    ds = TextImageDataset(cfg, "train")
+    caps, cls = ds.caption_bank()
+    assert caps == ["a small bird", "bright red wings",
+                    "a blue bird", "long tail"]
+    np.testing.assert_array_equal(cls, [3, 3, 5, 5])

@@ -236,3 +236,28 @@ def test_resize_bilinear_torch_identity_at_same_size(rng):
 
     np.testing.assert_array_equal(
         np.asarray(resize_bilinear_torch(jnp.asarray(x), 299, 299)), x)
+
+
+def test_mis_caption_bank_excludes_same_class():
+    from t2igan.config import Config, cfg_replace
+    from t2igan.data.synthetic import SyntheticDataset
+    from t2igan.data.tokenizer import ClipTokenizer
+    from t2igan.evaluation.rprecision import MisCaptionBank
+
+    cfg = cfg_replace(Config(), TREE={"BASE_SIZE": 16, "BRANCH_NUM": 1})
+    ds = SyntheticDataset(cfg, size=24, n_classes=4)
+    bank = MisCaptionBank(ds, ClipTokenizer.fallback(), words_num=16)
+    assert bank.ids.shape == (24, 16)
+    class_ids = np.asarray([0, 1, 2, 3])
+    ids, mask = bank.sample(class_ids, n_mis=7)
+    assert ids.shape == (4, 7, 16) and mask.shape == (4, 7, 16)
+    # every sampled row must come from a different class than the query:
+    # recover source rows by matching token ids against the bank
+    for i, cls in enumerate(class_ids):
+        for j in range(7):
+            src = np.flatnonzero((bank.ids == ids[i, j]).all(axis=1))
+            # the sampled caption must be producible by some other-class row
+            # (duplicate caption texts may also exist in the query class)
+            assert (bank.cls[src] != cls).any()
+    # eos-terminated masks align with ids
+    assert ((mask == 1) | (mask == 0)).all()

@@ -1,0 +1,100 @@
+"""Learning proof: the adversarial loop actually LEARNS, not just survives.
+
+The stability test (tests/test_training_stability.py) proves 60 steps of
+non-divergence; this harness proves optimization: a tiny conditional GAN
+overfits 8 fixed flat-color targets (one class per color) in a few hundred
+steps, and both the raw and the EMA generator outputs move measurably toward
+the targets.  This is the measurable stand-in for the reference training
+loop's purpose (trainer.py:250-464) in an environment without CUB/COCO.
+
+Design notes:
+* flat-color targets keep the data manifold trivially learnable, so the
+  conditional D + adversarial G losses alone identify it quickly;
+* DAMSM weight LAMBDA is set to 1 (CLIP is random-init here — its ranking
+  loss is a fixed-but-arbitrary target that would otherwise drown the
+  adversarial signal at the default bird weight of 10);
+* the EMA horizon is shortened (decay 0.98) so the shadow parameters track
+  within the test budget; the production default stays 0.999
+  (trainer.py:436-437).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2igan.config import Config, cfg_replace
+from t2igan.models.clip import ClipWithRegionHead
+from t2igan.models.factory import build_discriminators, build_generator
+from t2igan.train.state import gan_optimizers, init_gan_state
+from t2igan.train.steps import make_gan_step, make_sampler
+from tests.test_train_steps import TINY_CLIP, _caption_batch
+
+pytestmark = pytest.mark.slow
+
+CFG = cfg_replace(
+    Config(),
+    TREE={"BASE_SIZE": 64, "BRANCH_NUM": 1},
+    GAN={"GF_DIM": 8, "DF_DIM": 4, "Z_DIM": 16, "CONDITION_DIM": 16,
+         "R_NUM": 1},
+    TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 16},
+    TRAIN={"BATCH_SIZE": 8, "SMOOTH": {"LAMBDA": 1.0}})
+
+B, STEPS = 8, 600
+
+
+def test_gan_overfits_flat_color_targets():
+    rng = np.random.default_rng(0)
+    colors = np.linspace(-0.8, 0.8, B * 3).reshape(B, 3).astype(np.float32)
+    targets = np.broadcast_to(colors[:, None, None, :],
+                              (B, 64, 64, 3)).copy()
+    ids, mask = _caption_batch(rng, B, 16)
+    batch = {"images": [targets], "ids": ids, "mask": mask,
+             "ids_2": ids.copy(), "mask_2": mask.copy(),
+             "class_ids": np.arange(B, dtype=np.int32)}
+
+    clip_model = ClipWithRegionHead(TINY_CLIP)
+    clip_vars = clip_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32))
+    gen = build_generator(CFG)
+    ds = build_discriminators(CFG)
+    g_tx, d_tx = gan_optimizers(CFG)
+    state = init_gan_state(CFG, gen, ds, jax.random.PRNGKey(1))
+    step = jax.jit(make_gan_step(CFG, clip_model, gen, ds, g_tx, d_tx,
+                                 ema_decay=0.98),
+                   donate_argnums=(0,))
+    sampler = make_sampler(CFG, clip_model, gen)
+
+    z = jax.random.normal(jax.random.PRNGKey(7), (B, CFG.GAN.Z_DIM))
+    eps = jnp.zeros((B, CFG.GAN.CONDITION_DIM))
+
+    def dist(params, stats):
+        fakes, _ = sampler(clip_vars["params"], params, stats,
+                           jnp.asarray(ids), jnp.asarray(mask), z, eps)
+        return float(jnp.mean((fakes[-1] - jnp.asarray(targets)) ** 2))
+
+    d_init = dist(state.g_params, state.g_batch_stats)
+    d_init_ema = dist(state.g_ema_params, state.g_batch_stats)
+
+    key = jax.random.PRNGKey(3)
+    d_losses, g_losses = [], []
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, m = step(state, clip_vars["params"], batch, sub)
+        d_losses.append(float(m["d_loss0"]))
+        g_losses.append(float(m["g_loss"]))
+
+    assert np.isfinite(d_losses).all() and np.isfinite(g_losses).all()
+    d_final = dist(state.g_params, state.g_batch_stats)
+    d_final_ema = dist(state.g_ema_params, state.g_batch_stats)
+
+    # the generator's outputs approached the targets (measured 0.232 ->
+    # ~0.09 at 600 steps; threshold leaves slack for BLAS nondeterminism)
+    assert d_final < 0.65 * d_init, (d_init, d_final)
+    assert d_final_ema < 0.65 * d_init_ema, (d_init_ema, d_final_ema)
+    # the adversarial game moved toward equilibrium: D no longer wins
+    # outright (initial d_loss ~2.8 falls into a contested band) and G's
+    # loss trended down over the second half.
+    assert np.mean(d_losses[-50:]) < np.mean(d_losses[:50])
+    assert np.mean(g_losses[-100:]) < np.mean(g_losses[100:200])

@@ -294,3 +294,46 @@ def test_generator_converter_rejects_mismatched_branch(ref):
           if not k.startswith(("h_net3", "img_net3"))}
     with pytest.raises(KeyError):
         convert_torch_generator_state(sd, branch_num=3)
+
+
+# ---------------------------------------------------------------------------
+# Legacy RNN_ENCODER parity (model.py:140-221): the packed-sequence final
+# hidden state convention (final fwd state + first bwd state) is exactly the
+# kind of semantics that silently diverges — pin it with converted weights.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rnn_type", ["LSTM", "GRU"])
+def test_rnn_encoder_parity(ref, rng, rnn_type):
+    from t2igan.models.convert import convert_torch_rnn_encoder_state
+    from t2igan.models.legacy import RnnEncoder
+
+    ref.cfg.RNN_TYPE = rnn_type        # undefined in config defaults
+    ref.cfg.TEXT.WORDS_NUM = 9
+    ntoken, ninput, nhidden, t = 50, 20, 16, 9
+
+    torch.manual_seed(3)
+    enc_t = ref.RNN_ENCODER(ntoken, ninput=ninput, nhidden=nhidden)
+    enc_t.eval()
+
+    caps = rng.integers(1, ntoken, size=(B, t)).astype(np.int64)
+    lens = np.sort(rng.integers(3, t + 1, size=B))[::-1].copy()  # pack wants desc
+    with torch.no_grad():
+        hidden = enc_t.init_hidden(B)
+        words_t, sent_t = enc_t(torch.from_numpy(caps),
+                                torch.from_numpy(lens), hidden)
+    # pad_packed truncates to the longest length in the batch
+    t_out = int(lens[0])
+    words_t = words_t.numpy().transpose(0, 2, 1)     # [B, T', 2h]
+
+    variables = convert_torch_rnn_encoder_state(enc_t.state_dict(), rnn_type)
+    enc_j = RnnEncoder(ntoken=ntoken, ninput=ninput, nhidden=nhidden,
+                       rnn_type=rnn_type)
+    words_j, sent_j = enc_j.apply(variables, jnp.asarray(caps),
+                                  jnp.asarray(lens.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(words_j)[:, :t_out], words_t,
+                               rtol=ATOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(sent_j), sent_t.numpy(),
+                               rtol=ATOL, atol=ATOL)
+    # beyond each caption's length our output is exact zero, like pad_packed
+    mask = np.arange(t)[None, :] >= lens[:, None]
+    assert np.all(np.asarray(words_j)[mask] == 0.0)
