@@ -30,7 +30,9 @@ def parse_args():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--mode", choices=["gen", "geneval", "train", "damsm"],
+    p.add_argument("--mode",
+                   choices=["gen", "geneval", "train", "damsm", "ablate",
+                            "cost"],
                    default="geneval")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     return p.parse_args()
@@ -224,6 +226,184 @@ def bench_train(args):
     return args.iters / dt  # steps/sec
 
 
+def bench_ablate(args):
+    """Per-stage timing of the gen+eval headline: jit and time each stage of
+    the fused program in isolation (CLIP text encode -> generator pyramid ->
+    preprocess+inception pool3).  Prints one JSON line per stage — a
+    measurement-backed breakdown of where the headline's time goes."""
+    import jax
+    import jax.numpy as jnp
+
+    from t2igan.config import Config, cfg_replace
+    from t2igan.models.clip import ClipConfig, ClipWithRegionHead
+    from t2igan.models.factory import build_generator
+    from t2igan.models.inception import InceptionV3, preprocess
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    cfg = cfg_replace(Config(), GAN={"GF_DIM": 64, "DF_DIM": 32},
+                      TEXT={"EMBEDDING_DIM": 512, "WORDS_NUM": 77})
+    clip_cfg = ClipConfig()
+    clip_model = ClipWithRegionHead(clip_cfg, dtype=dtype)
+    gen_model = build_generator(cfg, dtype=dtype)
+    inception = InceptionV3(variant="fid", num_classes=1008, dtype=dtype)
+
+    cpu = _enable_cpu_fallback()
+    b, w = args.batch, 77
+    ids = jnp.full((b, w), clip_cfg.eos_token_id, jnp.int32)
+    mask = jnp.ones((b, w), jnp.int32)
+    z = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.GAN.Z_DIM))
+    eps = jax.random.normal(jax.random.PRNGKey(4),
+                            (b, cfg.GAN.CONDITION_DIM))
+
+    def init_all():
+        clip_vars = clip_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+            ids[:1], mask[:1])
+        g_vars = gen_model.init(
+            {"params": jax.random.PRNGKey(1),
+             "gaussian": jax.random.PRNGKey(2)},
+            z[:1], jnp.zeros((1, 512)), jnp.zeros((1, w, 512)),
+            mask[:1] == 0, False, eps[:1])
+        inc_vars = inception.init(jax.random.PRNGKey(7),
+                                  jnp.zeros((1, 299, 299, 3)))
+        return clip_vars, g_vars, inc_vars
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            clip_vars, g_vars, inc_vars = init_all()
+        dev = jax.devices()[0]
+        clip_vars = jax.device_put(clip_vars, dev)
+        g_vars = jax.device_put(g_vars, dev)
+        inc_vars = jax.device_put(inc_vars, dev)
+    else:
+        clip_vars, g_vars, inc_vars = init_all()
+
+    @jax.jit
+    def clip_stage(cp):
+        words, sent = clip_model.apply(
+            {"params": cp}, ids, mask,
+            method=ClipWithRegionHead.encode_text_verbose)
+        return words, sent
+
+    @jax.jit
+    def gen_stage(gp, gb, words, sent):
+        fakes, _, _, _ = gen_model.apply(
+            {"params": gp, "batch_stats": gb},
+            z, sent, words, mask == 0, False, eps, False)
+        return fakes[-1]
+
+    @jax.jit
+    def eval_stage(inc, img):
+        img01 = (img.astype(jnp.float32) + 1.0) * 0.5
+        return inception.apply(inc, preprocess(img01))["pool3"]
+
+    cp, gp = clip_vars["params"], g_vars["params"]
+    gb = g_vars.get("batch_stats", {})
+    words, sent = clip_stage(cp)
+    img = gen_stage(gp, gb, words, sent)
+    feats = eval_stage(inc_vars, img)
+    jax.block_until_ready((words, img, feats))
+
+    def timeit(fn, *a):
+        for _ in range(args.warmup):
+            jax.block_until_ready(fn(*a))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / args.iters
+
+    stages = {
+        "clip_text_encode": timeit(clip_stage, cp),
+        "generator_256": timeit(gen_stage, gp, gb, words, sent),
+        "inception_pool3": timeit(eval_stage, inc_vars, img),
+    }
+    total = sum(stages.values())
+    for name, t in stages.items():
+        print(json.dumps({
+            "metric": f"ablate/{name} (batch {args.batch}, {args.dtype})",
+            "value": round(args.batch / t, 2), "unit": "images/sec/chip",
+            "sec_per_batch": round(t, 5),
+            "share_of_staged_total": round(t / total, 3)}))
+    print(json.dumps({
+        "metric": f"ablate/staged_total (batch {args.batch}, {args.dtype})",
+        "value": round(args.batch / total, 2),
+        "unit": "images/sec/chip", "sec_per_batch": round(total, 5)}))
+
+
+def bench_cost(args):
+    """XLA cost analysis of the gen+eval stages (FLOPs / bytes accessed per
+    compiled program).  Run with ``JAX_PLATFORMS=cpu`` and a small --batch —
+    FLOPs scale linearly in batch, so divide by batch for per-image cost and
+    combine with --mode ablate timings for per-stage MFU."""
+    import jax
+    import jax.numpy as jnp
+
+    from t2igan.config import Config, cfg_replace
+    from t2igan.models.clip import ClipConfig, ClipWithRegionHead
+    from t2igan.models.factory import build_generator
+    from t2igan.models.inception import InceptionV3, preprocess
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    cfg = cfg_replace(Config(), GAN={"GF_DIM": 64, "DF_DIM": 32},
+                      TEXT={"EMBEDDING_DIM": 512, "WORDS_NUM": 77})
+    clip_cfg = ClipConfig()
+    clip_model = ClipWithRegionHead(clip_cfg, dtype=dtype)
+    gen_model = build_generator(cfg, dtype=dtype)
+    inception = InceptionV3(variant="fid", num_classes=1008, dtype=dtype)
+
+    b, w = args.batch, 77
+    ids = jnp.full((b, w), clip_cfg.eos_token_id, jnp.int32)
+    mask = jnp.ones((b, w), jnp.int32)
+    z = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.GAN.Z_DIM))
+    eps = jax.random.normal(jax.random.PRNGKey(4),
+                            (b, cfg.GAN.CONDITION_DIM))
+    clip_vars = clip_model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 224, 224, 3)), ids[:1],
+                                mask[:1])
+    g_vars = gen_model.init(
+        {"params": jax.random.PRNGKey(1), "gaussian": jax.random.PRNGKey(2)},
+        z[:1], jnp.zeros((1, 512)), jnp.zeros((1, w, 512)),
+        mask[:1] == 0, False, eps[:1])
+    inc_vars = inception.init(jax.random.PRNGKey(7),
+                              jnp.zeros((1, 299, 299, 3)))
+    words = jnp.zeros((b, w, 512), dtype)
+    sent = jnp.zeros((b, 512), dtype)
+    img = jnp.zeros((b, 256, 256, 3), dtype)
+
+    def clip_stage(cp):
+        return clip_model.apply({"params": cp}, ids, mask,
+                                method=ClipWithRegionHead.encode_text_verbose)
+
+    def gen_stage(gp, gb, words, sent):
+        fakes, _, _, _ = gen_model.apply(
+            {"params": gp, "batch_stats": gb},
+            z, sent, words, mask == 0, False, eps, False)
+        return fakes[-1]
+
+    def eval_stage(inc, im):
+        img01 = (im.astype(jnp.float32) + 1.0) * 0.5
+        return inception.apply(inc, preprocess(img01))["pool3"]
+
+    stages = {
+        "clip_text_encode": (clip_stage, (clip_vars["params"],)),
+        "generator_256": (gen_stage, (g_vars["params"],
+                                      g_vars.get("batch_stats", {}),
+                                      words, sent)),
+        "inception_pool3": (eval_stage, (inc_vars, img)),
+    }
+    for name, (fn, fargs) in stages.items():
+        ca = jax.jit(fn).lower(*fargs).compile().cost_analysis()
+        if isinstance(ca, list):  # older jax returns one dict per device
+            ca = ca[0]
+        print(json.dumps({
+            "metric": f"cost/{name} (batch {args.batch}, {args.dtype})",
+            "gflops_per_image": round(ca.get("flops", 0.0) / args.batch
+                                      / 1e9, 3),
+            "hbm_mb_per_image": round(ca.get("bytes accessed", 0.0)
+                                      / args.batch / 1e6, 3)}))
+
+
 def bench_damsm(args):
     """DAMSM CLIP fine-tune step (DAMSM/bird.yml shape: batch 48, 224px,
     two caption views, grad-clipped two-group update)."""
@@ -295,6 +475,12 @@ def main():
                        % (args.batch, args.dtype)),
             "value": round(value, 3), "unit": "steps/sec",
             "vs_baseline": None}))
+        return
+    elif args.mode == "ablate":
+        bench_ablate(args)
+        return
+    elif args.mode == "cost":
+        bench_cost(args)
         return
     elif args.mode == "train":
         value = bench_train(args)

@@ -435,11 +435,14 @@ def _bwd(gamma1, gamma2, interpret, residuals, g):
     """Backward dispatch.
 
     Default: recompute through the jnp reference and let XLA differentiate —
-    measured FASTER at the train-step level (197.8 vs 84.6 steps/sec on the
-    bf16 batch-48 DAMSM step) than the native chunked Pallas backward,
-    because XLA overlaps the recompute with the surrounding CLIP backward.
-    ``T2IGAN_DAMSM_NATIVE_BWD=1`` selects the Pallas backward (exact to
-    ~1e-6 of the XLA gradients; useful when HBM, not overlap, binds).
+    measured FASTER at the train-step level than the native chunked Pallas
+    backward at every batch size A/B'd on the v5e chip (bf16 DAMSM step,
+    steps/sec jnp vs native: batch 16 73.0/51.5, batch 48 88.6/36.8, batch
+    128 78.6/72.2 — round 2; round 1's batch-48 pair measured 197.8/84.6 on
+    an idle host), because XLA overlaps the recompute with the surrounding
+    CLIP backward.  The gap narrows as batch grows and the step turns
+    HBM-bound; ``T2IGAN_DAMSM_NATIVE_BWD=1`` keeps the Pallas backward
+    (exact to ~1e-6 of the XLA gradients) available for that regime.
     """
     import os
 

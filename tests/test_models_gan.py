@@ -44,6 +44,59 @@ def test_upsample_nearest_2x(rng):
     np.testing.assert_array_equal(y[0, ::2, 1::2], x[0])
 
 
+def test_conv3x3_on_up2x_equals_naive(rng):
+    """The subpixel rewrite is output-equivalent to conv3x3(nearest_up2(x))
+    with padding=1 — the exact op pair the reference's upBlock computes
+    (model.py:104-110)."""
+    from t2igan.ops.image import conv3x3_on_up2x
+
+    for h, w, cin, cout in ((5, 7, 3, 4), (4, 4, 8, 16), (1, 1, 2, 2)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.standard_normal((3, 3, cin, cout)).astype(np.float32))
+        naive = jax.lax.conv_general_dilated(
+            upsample_nearest_2x(x), k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fused = conv3x3_on_up2x(x, k)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_on_up2x_dilated_equals_naive(rng):
+    """The input-dilated form (the production default) is output-equivalent
+    to conv3x3(nearest_up2(x)) with padding=1."""
+    from t2igan.ops.image import conv3x3_on_up2x_dilated
+
+    for h, w, cin, cout in ((5, 7, 3, 4), (4, 4, 8, 16), (1, 1, 2, 2)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.standard_normal((3, 3, cin, cout)).astype(np.float32))
+        naive = jax.lax.conv_general_dilated(
+            upsample_nearest_2x(x), k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        fused = conv3x3_on_up2x_dilated(x, k)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["subpixel", "dilated"])
+def test_upblock_variant_equivalence(rng, monkeypatch, variant):
+    """UpBlock's T2IGAN_UPBLOCK variants share one param tree and produce
+    the same outputs as the reference-literal naive form."""
+    from t2igan.models.generator import UpBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)).astype(np.float32))
+    block = UpBlock(features=4)
+    monkeypatch.setenv("T2IGAN_UPBLOCK", "naive")
+    variables = block.init(jax.random.PRNGKey(0), x, False)
+    naive = block.apply(variables, x, False)
+    monkeypatch.setenv("T2IGAN_UPBLOCK", variant)
+    fused = block.apply(variables, x, False)
+    assert naive.shape == fused.shape == (2, 12, 12, 4)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_generator_pyramid_shapes(rng):
     model = GNet(**SMALL)
     z, sent, words, pad = _small_gen_inputs(rng)
