@@ -24,6 +24,14 @@ import time
 
 V100_REFERENCE_IMGS_PER_SEC = 115.0
 
+# Analytic per-image forward FLOPs of the NAIVE algorithm (bench.py --mode
+# cost, CPU XLA cost_analysis at the naive upsample+conv form): CLIP text
+# 6.0 GF + generator ~65.4 GF + FID inception 13.4 GF.  Used to report MFU
+# (algorithmic FLOPs / time / peak) next to the throughput headline.
+GEN_GFLOPS_PER_IMAGE = 71.4
+GENEVAL_GFLOPS_PER_IMAGE = 84.8
+V5E_BF16_PEAK_TFLOPS = 394.0
+
 
 def parse_args():
     p = argparse.ArgumentParser()
@@ -465,9 +473,11 @@ def main():
     if args.mode == "gen":
         value = bench_gen(args)
         metric = "256x256 text-to-image generation"
+        gflops = GEN_GFLOPS_PER_IMAGE
     elif args.mode == "geneval":
         value = bench_gen(args, with_eval=True)
         metric = "256x256 generation + FID inception features (gen+eval)"
+        gflops = GENEVAL_GFLOPS_PER_IMAGE
     elif args.mode == "damsm":
         value = bench_damsm(args)
         print(json.dumps({
@@ -496,6 +506,8 @@ def main():
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / V100_REFERENCE_IMGS_PER_SEC, 3),
+        "mfu_vs_v5e_bf16": round(
+            value * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS, 3),
     }))
 
 

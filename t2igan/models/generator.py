@@ -84,6 +84,19 @@ class _SubpixelUpConv(nn.Module):
         return conv3x3_on_up2x(x, kernel)
 
 
+class _Conv3x3Param(nn.Module):
+    """Parameter holder exposing the plain [3, 3, Cin, Cout] conv kernel
+    under the same ``Conv_0/kernel`` path as ``nn.Conv`` — used by UpBlock
+    paths that consume the kernel inside a fused Pallas call."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", ortho(),
+                          (3, 3, in_features, self.features))
+
+
 class _DilatedUpConv(nn.Module):
     """conv3x3 over a nearest-2x upsample as one input-dilated conv
     (:func:`conv3x3_on_up2x_dilated`) — ~1.9x faster than the two-op form
@@ -127,7 +140,49 @@ class UpBlock(nn.Module):
         import os
 
         variant = os.environ.get("T2IGAN_UPBLOCK", "dilated")
-        if variant == "naive":
+        if variant == "pallas" and not train:
+            # Fused eval path: upsample+conv+BN(running stats)+GLU in one
+            # Pallas kernel (ops/pallas/upconv.py).  The BN affine is folded
+            # by probing the shared BatchNorm child at 0 and 1 — exact,
+            # since eval-mode BN is affine per channel.  Platform dispatch
+            # happens at LOWERING time (host-CPU init traces of the same
+            # module must not lower the TPU kernel): non-TPU platforms take
+            # an equivalent jnp form.
+            from t2igan.ops.pallas.upconv import upconv_bn_glu_fused
+
+            f2 = self.features * 2
+            kernel = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
+            bn = BatchNorm(self.dtype)
+            zero = bn(jnp.zeros((1, 1, 1, f2), jnp.float32), False)
+            one = bn(jnp.ones((1, 1, 1, f2), jnp.float32), False)
+            shift = zero.reshape(f2).astype(jnp.float32)
+            scale = (one - zero).reshape(f2).astype(jnp.float32)
+            xc = x.astype(self.dtype)
+            kc = kernel.astype(self.dtype)
+
+            def fused(x, k):
+                return upconv_bn_glu_fused(x, k, scale, shift)
+
+            def jnp_form(x, k):
+                y = jax.lax.conv_general_dilated(
+                    upsample_nearest_2x(x), k, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = y.astype(jnp.float32) * scale + shift
+                return glu(y).astype(x.dtype)
+
+            # VMEM gate: the phase-kernel tensor (16*C*F2 elements) plus the
+            # padded input image must fit comfortably under the ~16 MB
+            # scoped-VMEM limit; the wide early init-stage layers (e.g.
+            # 1024->1024 at 4^2, 33 MB of weights alone) take the jnp form —
+            # they are a negligible share of generator time anyway.
+            bpe = jnp.dtype(self.dtype).itemsize
+            _, h_in, w_in, c_in = x.shape
+            vmem_est = (16 * c_in * f2 + (h_in + 2) * (w_in + 2) * c_in) * bpe
+            if vmem_est > 8 * 1024 * 1024:
+                return jnp_form(xc, kc)
+            return jax.lax.platform_dependent(xc, kc, tpu=fused, axon=fused,
+                                              default=jnp_form)
+        if variant == "naive" or variant == "pallas":
             x = upsample_nearest_2x(x)
             x = nn.Conv(self.features * 2, (3, 3), padding=1, use_bias=False,
                         kernel_init=ortho(), dtype=self.dtype,
@@ -264,14 +319,42 @@ class NextStageG(nn.Module):
 
 
 class GetImageG(nn.Module):
-    """Feature map -> RGB in [-1, 1] (model.py:536-547)."""
+    """Feature map -> RGB in [-1, 1] (model.py:536-547).
+
+    The 3-channel-output conv is the worst MXU fit in the graph (~1% MFU
+    through XLA); ``T2IGAN_RGB_KERNEL=1`` dispatches to the channels-major
+    Pallas kernel (ops/pallas/to_rgb.py) whose matmul pads 27->32 sublanes
+    instead of 3->128 lanes.  OFF by default: Mosaic requires the manual
+    DMA slice to be 128-lane aligned, which would force padding C 64->128
+    in HBM and double the input traffic — see the kernel docstring."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h_code: Array):
+        import os
+
+        if os.environ.get("T2IGAN_RGB_KERNEL", "0") == "1":
+            from t2igan.ops.pallas.to_rgb import to_rgb_fused
+
+            kernel = _Conv3x3Param(3, name="Conv_0")(h_code.shape[-1])
+            h_code, kernel = nn.dtypes.promote_dtype(h_code, kernel,
+                                                     dtype=self.dtype)
+
+            def fused(h, k):
+                return to_rgb_fused(h, k)
+
+            def jnp_form(h, k):
+                y = jax.lax.conv_general_dilated(
+                    h, k, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return jnp.tanh(y)
+
+            return jax.lax.platform_dependent(h_code, kernel, tpu=fused,
+                                              axon=fused, default=jnp_form)
         x = nn.Conv(3, (3, 3), padding=1, use_bias=False,
-                    kernel_init=ortho(), dtype=self.dtype)(h_code)
+                    kernel_init=ortho(), dtype=self.dtype,
+                    name="Conv_0")(h_code)
         return jnp.tanh(x)
 
 

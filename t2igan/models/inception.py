@@ -78,16 +78,21 @@ class BasicConv2d(nn.Module):
 
 
 class InceptionA(nn.Module):
+    """The three same-input 1x1 branch convs run as ONE fused conv
+    (``fused1x1``, split after BN+relu — exact, since BN/relu are
+    per-channel): one MXU matmul with a wide N instead of three narrow
+    ones, and one input read instead of three.  The torch converter
+    concatenates the per-branch weights (:func:`_fuse_branch_entries`)."""
+
     pool_features: int
     fid: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
-        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        fused = BasicConv2d(64 + 48 + 64, (1, 1), name="fused1x1")(x)
+        b1, b5, b3 = jnp.split(fused, (64, 112), axis=-1)
         b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2")(b5)
-        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
         bp = _avg_pool3x3(x, count_include_pad=not self.fid)
@@ -116,11 +121,10 @@ class InceptionC(nn.Module):
     @nn.compact
     def __call__(self, x):
         c7 = self.channels_7x7
-        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
-        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        fused = BasicConv2d(192 + 2 * c7, (1, 1), name="fused1x1")(x)
+        b1, b7, bd = jnp.split(fused, (192, 192 + c7), axis=-1)
         b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
         b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
-        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
         bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
@@ -135,9 +139,9 @@ class InceptionD(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        fused = BasicConv2d(192 + 192, (1, 1), name="fused1x1")(x)
+        b3, b7 = jnp.split(fused, (192,), axis=-1)
         b3 = BasicConv2d(320, (3, 3), strides=2, name="branch3x3_2")(b3)
-        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
         b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
         b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
         b7 = BasicConv2d(192, (3, 3), strides=2, name="branch7x7x3_4")(b7)
@@ -151,12 +155,11 @@ class InceptionE(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
-        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        fused = BasicConv2d(320 + 384 + 448, (1, 1), name="fused1x1")(x)
+        b1, b3, bd = jnp.split(fused, (320, 704), axis=-1)
         b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
         b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
         b3 = jnp.concatenate([b3a, b3b], axis=-1)
-        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
         bd = BasicConv2d(384, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
         bda = BasicConv2d(384, (1, 3), padding=(0, 1),
                           name="branch3x3dbl_3a")(bd)
@@ -232,6 +235,47 @@ def preprocess(x01: Array, size: int = 299) -> Array:
 # Torch weight conversion
 # ---------------------------------------------------------------------------
 
+# Per-block 1x1 branches that the flax modules run as one fused conv
+# (``fused1x1``) — the torch layout keeps them separate, so conversion
+# concatenates their weights in this order (must match the jnp.split order
+# inside InceptionA/C/D/E above).
+_FUSED_1X1 = {
+    **{m: ("branch1x1", "branch5x5_1", "branch3x3dbl_1")
+       for m in ("Mixed_5b", "Mixed_5c", "Mixed_5d")},
+    **{m: ("branch1x1", "branch7x7_1", "branch7x7dbl_1")
+       for m in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e")},
+    "Mixed_7a": ("branch3x3_1", "branch7x7x3_1"),
+    **{m: ("branch1x1", "branch3x3_1", "branch3x3dbl_1")
+       for m in ("Mixed_7b", "Mixed_7c")},
+}
+
+
+def _fuse_branch_entries(params: dict, batch_stats: dict) -> None:
+    """Merge the per-branch 1x1 conv/BN entries of each ``_FUSED_1X1`` block
+    into the single ``fused1x1`` module the flax graph expects (exact: the
+    branches share their input, and BN/relu act per output channel)."""
+    for module, branches in _FUSED_1X1.items():
+        if module not in params or branches[0] not in params[module]:
+            continue
+        p, b = params[module], batch_stats[module]
+        fused_p = {"conv": {"kernel": np.concatenate(
+            [np.asarray(p[br]["conv"]["kernel"]) for br in branches],
+            axis=-1)}}
+        fused_p["bn"] = {
+            k: np.concatenate([np.asarray(p[br]["bn"][k])
+                               for br in branches])
+            for k in ("scale", "bias")}
+        fused_b = {"bn": {
+            k: np.concatenate([np.asarray(b[br]["bn"][k])
+                               for br in branches])
+            for k in ("mean", "var")}}
+        for br in branches:
+            del p[br]
+            del b[br]
+        p["fused1x1"] = fused_p
+        b["fused1x1"] = fused_b
+
+
 def convert_torch_inception_state(state_dict,
                                   num_classes: int = 1008) -> dict:
     """Map a torch Inception-v3 state dict (pytorch-fid ``pt_inception`` or
@@ -271,5 +315,6 @@ def convert_torch_inception_state(state_dict,
                 put(batch_stats, tuple(module_path) + ("bn", "mean"), val)
             elif name == "running_var":
                 put(batch_stats, tuple(module_path) + ("bn", "var"), val)
+    _fuse_branch_entries(params, batch_stats)
     return {"params": jax.tree.map(jnp.asarray, params),
             "batch_stats": jax.tree.map(jnp.asarray, batch_stats)}

@@ -1,0 +1,67 @@
+"""Fused RGB-head kernel vs the plain conv+tanh (interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2igan.ops.pallas.to_rgb import to_rgb_fused
+
+
+def _naive(x, k):
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.tanh(y)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 16),
+                                   (1, 16, 16, 8),   # multi-chunk rows
+                                   (2, 4, 12, 4)])
+def test_to_rgb_fused_matches_naive(rng, shape):
+    b, h, w, c = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, c, 3)).astype(np.float32))
+    ref = _naive(x, k)
+    got = to_rgb_fused(x, k, True)
+    assert got.shape == (b, h, w, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_to_rgb_fused_grads_match_naive(rng):
+    """The custom VJP (jnp recompute) matches the plain composition's
+    gradients for both operands."""
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, 6, 3)).astype(np.float32))
+
+    def loss_fused(x, k):
+        return jnp.sum(to_rgb_fused(x, k, True) ** 2)
+
+    def loss_naive(x, k):
+        return jnp.sum(_naive(x, k) ** 2)
+
+    gx_f, gk_f = jax.grad(loss_fused, argnums=(0, 1))(x, k)
+    gx_n, gk_n = jax.grad(loss_naive, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_get_image_g_kernel_flag_equivalence(rng, monkeypatch):
+    """GetImageG's kernel path and the plain conv share one param tree and
+    agree (CPU takes the platform-dispatch jnp branch)."""
+    from t2igan.models.generator import GetImageG
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    module = GetImageG()
+    monkeypatch.setenv("T2IGAN_RGB_KERNEL", "0")
+    variables = module.init(jax.random.PRNGKey(0), x)
+    ref = module.apply(variables, x)
+    monkeypatch.setenv("T2IGAN_RGB_KERNEL", "1")
+    got = module.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

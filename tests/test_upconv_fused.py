@@ -1,0 +1,74 @@
+"""Fused eval-mode UpBlock kernel vs the naive op chain (interpreter mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2igan.ops.image import upsample_nearest_2x
+from t2igan.ops.pallas.upconv import upconv_bn_glu_fused
+
+
+def _naive(x, kernel, scale, shift):
+    y = jax.lax.conv_general_dilated(
+        upsample_nearest_2x(x), kernel.astype(x.dtype), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y.astype(jnp.float32) * scale + shift
+    a, b = jnp.split(y, 2, axis=-1)
+    return a * jax.nn.sigmoid(b)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 16, 8),     # generic
+                                   (1, 4, 4, 32, 16),    # init-stage-like
+                                   (2, 16, 16, 8, 8)])   # multi-chunk rows
+def test_upconv_fused_matches_naive(rng, shape):
+    b, h, w, c, f = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, c, f)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, f).astype(np.float32))
+    shift = jnp.asarray(0.1 * rng.standard_normal(f).astype(np.float32))
+    ref = _naive(x, k, scale, shift)
+    got = upconv_bn_glu_fused(x, k, scale, shift, interpret=True)
+    assert got.shape == (b, 2 * h, 2 * w, f // 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upblock_pallas_variant_matches_naive(rng, monkeypatch):
+    """UpBlock's T2IGAN_UPBLOCK=pallas eval path equals the naive form,
+    sharing one param tree.  (On CPU the platform dispatch takes the
+    equivalent jnp branch; the kernel itself is pinned by the interpret-mode
+    tests above.)"""
+    from t2igan.models.generator import UpBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    block = UpBlock(features=4)
+    monkeypatch.setenv("T2IGAN_UPBLOCK", "naive")
+    variables = block.init(jax.random.PRNGKey(0), x, False)
+    naive = block.apply(variables, x, False)
+    monkeypatch.setenv("T2IGAN_UPBLOCK", "pallas")
+    fused = block.apply(variables, x, False)
+    assert naive.shape == fused.shape == (2, 16, 16, 4)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upblock_pallas_variant_train_mode_unchanged(rng, monkeypatch):
+    """With train=True the pallas variant falls back to the XLA form (BN
+    needs batch stats), including the batch_stats mutation."""
+    from t2igan.models.generator import UpBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 6)).astype(np.float32))
+    block = UpBlock(features=4)
+    monkeypatch.setenv("T2IGAN_UPBLOCK", "naive")
+    variables = block.init(jax.random.PRNGKey(0), x, True)
+    ref, ref_upd = block.apply(variables, x, True, mutable=["batch_stats"])
+    monkeypatch.setenv("T2IGAN_UPBLOCK", "pallas")
+    got, got_upd = block.apply(variables, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-5),
+        ref_upd, got_upd)
