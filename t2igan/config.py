@@ -78,6 +78,13 @@ class GanConfig:
     R_NUM: int = 2
     B_ATTENTION: bool = True
     B_DCGAN: bool = False
+    # TPU additions (not part of the reference YAML surface; defaults keep
+    # the reference YAMLs parsing unchanged).  UPBLOCK selects the
+    # output-equivalent computation of upsample+conv in the generator —
+    # "dilated" (fastest on TPU), "naive", "subpixel", "pallas"; see
+    # models/generator.py::UpBlock.  The T2IGAN_UPBLOCK env var remains as
+    # an explicit A/B override only.
+    UPBLOCK: str = "dilated"
 
 
 @_frozen

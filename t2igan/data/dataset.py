@@ -219,13 +219,38 @@ class TextImageDataset:
                       class_id=int(self.class_id[index]),
                       key=key)
 
-    def _pyramid(self, img) -> List[np.ndarray]:
+    def deterministic_record(self, index: int) -> Record:
+        """RNG-free sample for probe/snapshot batches: fixed caption choice
+        (first two captions of the image), center crop, no flip.  Unlike
+        ``__getitem__`` this never touches ``self.rng``, so probing (e.g.
+        ``DataLoader.peek`` at snapshot cadence) cannot shift subsequent
+        training augmentation or caption draws."""
+        from PIL import Image
+
+        key = self.filenames[index]
+        img = Image.open(self.image_path(key)).convert("RGB")
+        if self.bbox is not None:
+            img = crop_to_bbox(img, self.bbox[key])
+        nw, nh = self.transform.scaled_dims(*img.size)
+        plan = (nw, nh, (nw - self.transform.imsize) // 2,
+                (nh - self.transform.imsize) // 2, False)
+        base = index * self.embeddings_num
+        cap2_ix = base + min(1, self.embeddings_num - 1)
+        return Record(images=self._pyramid(img, plan=plan),
+                      caption=self.caption_text(base),
+                      caption_2=self.caption_text(cap2_ix),
+                      class_id=int(self.class_id[index]),
+                      key=key)
+
+    def _pyramid(self, img, plan=None) -> List[np.ndarray]:
         """Augment + multi-scale pyramid; native C++ backend when built,
-        PIL otherwise (same transform plan either way)."""
+        PIL otherwise (same transform plan either way).  ``plan`` overrides
+        the random crop/flip draw (used by :meth:`deterministic_record`)."""
         from t2igan import native
 
         w, h = img.size
-        nw, nh, x0, y0, flip = self.transform.plan(w, h, self.rng)
+        nw, nh, x0, y0, flip = (self.transform.plan(w, h, self.rng)
+                                if plan is None else plan)
         if native.available():
             return native.pyramid(np.asarray(img, np.uint8),
                                   self.transform.scale, self.transform.imsize,
@@ -258,6 +283,13 @@ class TextImageDataset:
 
         Returns (captions: List[str], caption_class: np.ndarray [N])."""
         n_caps = len(self.captions)
+        expected = len(self.filenames) * self.embeddings_num
+        if n_caps != expected:
+            raise ValueError(
+                f"captions.pickle carries {n_caps} captions for "
+                f"{len(self.filenames)} filenames x {self.embeddings_num} "
+                f"captions/image (expected {expected}); the i//"
+                "embeddings_num class lookup would misalign classes")
         caps = [self.caption_text(i) for i in range(n_caps)]
         cls = np.asarray([int(self.class_id[i // self.embeddings_num])
                           for i in range(n_caps)], np.int64)

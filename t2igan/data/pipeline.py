@@ -146,13 +146,19 @@ class DataLoader:
         Snapshot/figure helpers previously did ``next(iter(loader))``, which
         bumps the epoch counter and shifts every subsequent shuffle — runs
         stopped being reproducible across snapshot intervals.  ``peek``
-        collates the first ``batch_size`` records in dataset order: fixed
-        across calls, epochs and snapshot cadence.
+        collates the first ``batch_size`` records in dataset order through
+        an rng-free path (``deterministic_record``: fixed caption choice,
+        center crop, no flip) where the dataset provides one, so neither
+        the loader's epoch counter NOR the dataset's shared rng is
+        perturbed: fixed across calls, epochs and snapshot cadence.
         """
         n = min(self.batch_size, len(self.dataset))
         if n == 0:
             return None
-        records = [self.dataset[i] for i in range(n)]
+        fetch = getattr(self.dataset, "deterministic_record", None)
+        if fetch is None:
+            fetch = self.dataset.__getitem__
+        records = [fetch(i) for i in range(n)]
         return collate(records, self.tokenizer, self.words_num)
 
     def __iter__(self) -> Iterator[Batch]:

@@ -99,6 +99,11 @@ class MisCaptionBank:
         rows = np.empty((len(class_ids), n_mis), np.int64)
         for i, cls in enumerate(class_ids):
             comp = self._comp(int(cls))
+            if len(comp) == 0:
+                raise ValueError(
+                    f"no mis-captions available: every caption in the split "
+                    f"belongs to class {int(cls)} (single-class split?); "
+                    "R-precision needs at least one other-class caption")
             rows[i] = comp[self._rng.integers(0, len(comp), n_mis)]
         return self.ids[rows], self.mask[rows]
 

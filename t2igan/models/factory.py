@@ -17,7 +17,15 @@ from t2igan.models.generator import GDCGan, GNet
 
 
 def build_generator(cfg: Config, dtype: Any = jnp.float32):
+    import logging
+    import os
+
     cls = GDCGan if cfg.GAN.B_DCGAN else GNet
+    env = os.environ.get("T2IGAN_UPBLOCK")
+    if env is not None and env != cfg.GAN.UPBLOCK:
+        logging.getLogger("t2igan").warning(
+            "UpBlock variant overridden by T2IGAN_UPBLOCK=%s "
+            "(config GAN.UPBLOCK=%s)", env, cfg.GAN.UPBLOCK)
     return cls(
         gf_dim=cfg.GAN.GF_DIM,
         nef=cfg.TEXT.EMBEDDING_DIM,
@@ -25,6 +33,7 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         branch_num=cfg.TREE.BRANCH_NUM,
         num_residual=cfg.GAN.R_NUM,
         dtype=dtype,
+        upblock=cfg.GAN.UPBLOCK,
     )
 
 

@@ -130,16 +130,21 @@ class UpBlock(nn.Module):
     * ``subpixel`` — explicit 4-phase 2x2 conv + interleave; slowest (~2x
       worse than naive end-to-end) because of odd conv shapes and the
       interleave, despite 2.25x fewer FLOPs.  Kept as a documented negative
-      result."""
+      result.
+
+    The variant comes from the config (``GAN.UPBLOCK``) via the module
+    attribute so the compiled graph is reproducible from the YAML alone;
+    the ``T2IGAN_UPBLOCK`` env var remains as an explicit A/B override."""
 
     features: int
     dtype: Any = jnp.float32
+    variant: str = "dilated"
 
     @nn.compact
     def __call__(self, x, train: bool):
         import os
 
-        variant = os.environ.get("T2IGAN_UPBLOCK", "dilated")
+        variant = os.environ.get("T2IGAN_UPBLOCK", self.variant)
         if variant == "pallas" and not train:
             # Fused eval path: upsample+conv+BN(running stats)+GLU in one
             # Pallas kernel (ops/pallas/upconv.py).  The BN affine is folded
@@ -240,6 +245,7 @@ class InitStageG(nn.Module):
 
     ngf: int  # = GF_DIM * 16 at this stage, matching the reference
     dtype: Any = jnp.float32
+    upblock: str = "dilated"
 
     @nn.compact
     def __call__(self, z_code: Array, c_code: Array, train: bool):
@@ -251,7 +257,8 @@ class InitStageG(nn.Module):
         # torch reshapes channel-first to (B, ngf, 4, 4); NHWC equivalent:
         x = x.reshape(x.shape[0], self.ngf, 4, 4).transpose(0, 2, 3, 1)
         for i in range(4):
-            x = UpBlock(self.ngf // (2 ** (i + 1)), self.dtype)(x, train)
+            x = UpBlock(self.ngf // (2 ** (i + 1)), self.dtype,
+                        self.upblock)(x, train)
         return x  # [B, 64, 64, ngf/16]
 
 
@@ -268,6 +275,7 @@ class NextStageG(nn.Module):
     nef: int
     num_residual: int = 2
     dtype: Any = jnp.float32
+    upblock: str = "dilated"
 
     @nn.compact
     def __call__(self, h_code: Array, word_embs: Array,
@@ -312,7 +320,7 @@ class NextStageG(nn.Module):
 
         for i in range(self.num_residual):
             h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
-        out = UpBlock(self.ngf, self.dtype)(h_new, train)
+        out = UpBlock(self.ngf, self.dtype, self.upblock)(h_new, train)
         if attn is not None:
             attn = attn.reshape(b, hh, ww, L)
         return out, attn
@@ -372,6 +380,7 @@ class GNet(nn.Module):
     branch_num: int = 3
     num_residual: int = 2
     dtype: Any = jnp.float32
+    upblock: str = "dilated"
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -387,13 +396,15 @@ class GNet(nn.Module):
         c_code, mu, logvar = CANet(self.condition_dim, self.dtype)(
             sent_emb, ca_eps)
 
-        h_code = InitStageG(ngf * 16, self.dtype)(z_code, c_code, train)
+        h_code = InitStageG(ngf * 16, self.dtype,
+                            self.upblock)(z_code, c_code, train)
         fake_imgs.append(GetImageG(self.dtype)(h_code))
         for _ in range(1, self.branch_num):
             h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
-                                      self.dtype)(h_code, word_embs,
-                                                  pad_mask, train,
-                                                  return_attn)
+                                      self.dtype,
+                                      self.upblock)(h_code, word_embs,
+                                                    pad_mask, train,
+                                                    return_attn)
             fake_imgs.append(GetImageG(self.dtype)(h_code))
             if attn is not None:
                 att_maps.append(attn)
@@ -410,6 +421,7 @@ class GDCGan(nn.Module):
     branch_num: int = 3
     num_residual: int = 2
     dtype: Any = jnp.float32
+    upblock: str = "dilated"
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -419,12 +431,14 @@ class GDCGan(nn.Module):
         att_maps = []
         c_code, mu, logvar = CANet(self.condition_dim, self.dtype)(
             sent_emb, ca_eps)
-        h_code = InitStageG(ngf * 16, self.dtype)(z_code, c_code, train)
+        h_code = InitStageG(ngf * 16, self.dtype,
+                            self.upblock)(z_code, c_code, train)
         for _ in range(1, self.branch_num):
             h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
-                                      self.dtype)(h_code, word_embs,
-                                                  pad_mask, train,
-                                                  return_attn)
+                                      self.dtype,
+                                      self.upblock)(h_code, word_embs,
+                                                    pad_mask, train,
+                                                    return_attn)
             if attn is not None:
                 att_maps.append(attn)
         img = GetImageG(self.dtype)(h_code)

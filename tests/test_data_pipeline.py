@@ -186,6 +186,64 @@ def test_peek_is_deterministic_and_side_effect_free(loader):
     assert probe1.keys == [loader.dataset[i].key for i in range(4)]
 
 
+def test_peek_does_not_touch_dataset_rng(tmp_path):
+    """TextImageDataset.__getitem__ consumes the shared dataset rng (caption
+    pick + crop/flip plan), so peek() must route through the rng-free
+    deterministic_record path: dataset.rng state must be bit-identical
+    before and after, and repeated peeks must return identical captions."""
+    from PIL import Image
+
+    data_dir = tmp_path / "fake"
+    (data_dir / "train").mkdir(parents=True)
+    (data_dir / "train2014").mkdir()
+    for i in range(2):
+        Image.new("RGB", (80, 70), (10 * i, 20, 30)).save(
+            data_dir / "train2014" / f"img_{i}.jpg")
+    with open(data_dir / "captions.pickle", "wb") as f:
+        pickle.dump([["a red bird", "a blue bird",
+                      "green wings", "long tail"], []], f, protocol=2)
+    with open(data_dir / "train" / "filenames.pickle", "wb") as f:
+        pickle.dump(["img_0", "img_1"], f, protocol=2)
+    with open(data_dir / "train" / "class_info.pickle", "wb") as f:
+        pickle.dump([1, 2], f, protocol=2)
+
+    cfg = cfg_replace(CFG, DATA_DIR=str(data_dir),
+                      TEXT={"CAPTIONS_PER_IMAGE": 2})
+    ds = TextImageDataset(cfg, "train")
+    loader = DataLoader(ds, ClipTokenizer.fallback(), batch_size=2,
+                        words_num=16, seed=3)
+    state_before = ds.rng.bit_generator.state
+    p1 = loader.peek()
+    p2 = loader.peek()
+    assert ds.rng.bit_generator.state == state_before
+    np.testing.assert_array_equal(p1.input_ids, p2.input_ids)
+    np.testing.assert_array_equal(p1.input_ids_2, p2.input_ids_2)
+    for a, b in zip(p1.images, p2.images):
+        np.testing.assert_array_equal(a, b)
+    # fixed caption choice: first two captions of each image
+    rec = ds.deterministic_record(0)
+    assert (rec.caption, rec.caption_2) == ("a red bird", "a blue bird")
+
+
+def test_caption_bank_size_mismatch_raises(tmp_path):
+    """A captions.pickle whose caption count disagrees with
+    len(filenames) * CAPTIONS_PER_IMAGE would silently misalign the
+    i // embeddings_num class lookup — caption_bank must refuse."""
+    data_dir = tmp_path / "fake"
+    (data_dir / "train").mkdir(parents=True)
+    with open(data_dir / "captions.pickle", "wb") as f:
+        pickle.dump([["a", "b", "c"], []], f, protocol=2)  # 3 caps, 2x2 expected
+    with open(data_dir / "train" / "filenames.pickle", "wb") as f:
+        pickle.dump(["img_0", "img_1"], f, protocol=2)
+    with open(data_dir / "train" / "class_info.pickle", "wb") as f:
+        pickle.dump([1, 2], f, protocol=2)
+    cfg = cfg_replace(CFG, DATA_DIR=str(data_dir),
+                      TEXT={"CAPTIONS_PER_IMAGE": 2})
+    ds = TextImageDataset(cfg, "train")
+    with pytest.raises(ValueError, match="misalign"):
+        ds.caption_bank()
+
+
 def test_caption_bank_classes_align():
     ds = SyntheticDataset(CFG, size=12)
     caps, cls = ds.caption_bank()
