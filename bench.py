@@ -19,10 +19,13 @@ Flags: --batch, --iters, --mode {gen,geneval,train,damsm}, --dtype {f32,bf16}.
 
 import argparse
 import json
+import os
 import time
 
 
 V100_REFERENCE_IMGS_PER_SEC = 115.0
+
+CACHE_DIR = "/root/repo/.jax_cache"
 
 # Analytic per-image forward FLOPs of the NAIVE algorithm (bench.py --mode
 # cost, CPU XLA cost_analysis at the naive upsample+conv form): CLIP text
@@ -40,10 +43,60 @@ def parse_args():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--mode",
                    choices=["gen", "geneval", "train", "damsm", "ablate",
-                            "cost"],
+                            "cost", "warm"],
                    default="geneval")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
     return p.parse_args()
+
+
+def _supervise() -> int:
+    """Armor the driver-facing headline capture against two measured
+    hazards (BENCH_r02 tail, docs/PERFORMANCE.md): a >30-min remote compile
+    of the dilated upsample-conv through a congested relay, and stale
+    XLA:CPU AOT cache entries from another host ("could lead to ... SIGILL").
+
+    Runs the timed bench in a budgeted child process.  On budget overrun the
+    next attempt reverts to ``T2IGAN_UPBLOCK=naive`` (fast compile, ~10%
+    slower steady-state — a number beats a timeout).  If the child dies on a
+    signal, the compile cache is presumed poisoned: purge it and retry the
+    same settings once.  stdout is inherited, so the driver still tails the
+    child's one JSON line."""
+    import shutil
+    import subprocess
+    import sys
+
+    plan = [
+        ({}, float(os.environ.get("T2IGAN_BENCH_ATTEMPT1_S", "1800"))),
+        ({"T2IGAN_UPBLOCK": "naive"},
+         float(os.environ.get("T2IGAN_BENCH_ATTEMPT2_S", "1200"))),
+    ]
+    purged = False
+    queue = list(plan)
+    rc = 1
+    while queue:
+        env_over, budget = queue.pop(0)
+        env = dict(os.environ, T2IGAN_BENCH_CHILD="1", **env_over)
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env, timeout=budget).returncode
+        except subprocess.TimeoutExpired:
+            print(f"bench: attempt exceeded its {budget:.0f}s budget "
+                  f"(compile blowup?); falling back to the next variant",
+                  flush=True)
+            rc = 124
+            continue
+        if rc == 0:
+            return 0
+        if rc < 0 and not purged:
+            print(f"bench: child died with signal {-rc}; purging the "
+                  "compile cache and retrying", flush=True)
+            shutil.rmtree(CACHE_DIR, ignore_errors=True)
+            purged = True
+            queue.insert(0, (env_over, budget))
+            continue
+        return rc  # plain failure: a real bug, do not mask it
+    return rc
 
 
 def _enable_compile_cache():
@@ -52,11 +105,95 @@ def _enable_compile_cache():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+
+def _host_fingerprint() -> str:
+    """Stable fingerprint of this host's CPU ISA feature set."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:16]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:16]
+
+
+# Classifier markers: XLA:CPU AOT cache entries embed the compile machine's
+# LLVM x86 feature string (the same one cpu_aot_loader.cc prints on
+# mismatch); TPU executables never carry LLVM x86 feature syntax.
+_CPU_AOT_MARKERS = (b"prefer-no-scatter", b"+sse2", b"+64bit")
+
+
+def _entry_is_cpu_aot(path: str) -> bool:
+    """True iff the (zstd-framed, jax default) cache entry embeds an LLVM
+    x86 feature string — i.e. it is a host-specific XLA:CPU AOT result."""
+    tail = b""
+    overlap = max(len(m) for m in _CPU_AOT_MARKERS) - 1
+    try:
+        import zstandard as zstd
+
+        with open(path, "rb") as f, \
+                zstd.ZstdDecompressor().stream_reader(f) as r:
+            while True:
+                out = r.read(1 << 20)
+                if not out:
+                    break
+                buf = tail + out
+                if any(m in buf for m in _CPU_AOT_MARKERS):
+                    return True
+                tail = buf[-overlap:]
+    except Exception:
+        return False  # unreadable/other framing — assume portable, keep it
+    return False
+
+
+def validate_cache(cache_dir: str = CACHE_DIR) -> int:
+    """Purge XLA:CPU AOT cache entries compiled on a different host.
+
+    The persistent cache survives across rounds while the executing host
+    changes; stale CPU AOT executables are loaded despite machine-feature
+    mismatches ("could lead to execution errors such as SIGILL",
+    cpu_aot_loader.cc) — seen in BENCH_r02's tail.  TPU/axon entries are
+    host-independent and must be KEPT (they hold the multi-minute remote
+    compiles).  A HOST.json marker makes the scan a no-op on the same host.
+    Returns the number of purged entries."""
+    if not os.path.isdir(cache_dir):
+        return 0
+    marker = os.path.join(cache_dir, "HOST.json")
+    fp = _host_fingerprint()
+    try:
+        with open(marker) as f:
+            if json.load(f).get("fingerprint") == fp:
+                return 0
+    except (OSError, ValueError):
+        pass
+    purged = 0
+    for name in os.listdir(cache_dir):
+        if not name.endswith("-cache"):
+            continue
+        path = os.path.join(cache_dir, name)
+        if _entry_is_cpu_aot(path):
+            try:
+                os.unlink(path)
+                purged += 1
+            except OSError:
+                pass
+    with open(marker, "w") as f:
+        json.dump({"fingerprint": fp}, f)
+    if purged:
+        print(f"bench: purged {purged} stale XLA:CPU AOT cache entries "
+              f"(host fingerprint changed)", flush=True)
+    return purged
 
 
 def _enable_cpu_fallback():
@@ -469,7 +606,22 @@ def bench_damsm(args):
 
 def main():
     args = parse_args()
+    validate_cache()
+    if (args.mode in ("gen", "geneval")
+            and os.environ.get("T2IGAN_BENCH_CHILD") != "1"
+            and os.environ.get("T2IGAN_BENCH_NO_SUPERVISE") != "1"):
+        raise SystemExit(_supervise())
     _enable_compile_cache()
+    if args.mode == "warm":
+        # Pre-warm the persistent cache with the headline graphs so the
+        # driver's bench window never pays a cold compile.
+        t0 = time.perf_counter()
+        args.iters, args.warmup = 1, 0
+        bench_gen(args, with_eval=True)
+        print(json.dumps({
+            "metric": "warm: geneval graphs compiled+cached",
+            "value": round(time.perf_counter() - t0, 1), "unit": "sec"}))
+        return
     if args.mode == "gen":
         value = bench_gen(args)
         metric = "256x256 text-to-image generation"

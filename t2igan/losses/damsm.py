@@ -150,10 +150,10 @@ def words_loss(regions: Array, words: Array,
       word_mask: [B, L] bool, True at real tokens; or None.
 
     Returns:
-      (loss0, loss1, attn): text→image CE, image→text CE, and the per-pair
-      attention maps are recomputable via
-      :func:`t2igan.ops.attention.word_region_attention` for visualization
-      (the reference returned them from the loss; we keep the loss lean).
+      (loss0, loss1): text→image CE and image→text CE.  Unlike the
+      reference (which also returned per-pair attention maps from the
+      loss), the maps are not produced here — recompute them via
+      :func:`t2igan.ops.attention.word_region_attention` for visualization.
     """
     if fused is None:
         fused = _use_fused_kernel()
