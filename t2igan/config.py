@@ -85,6 +85,12 @@ class GanConfig:
     # models/generator.py::UpBlock.  The T2IGAN_UPBLOCK env var remains as
     # an explicit A/B override only.
     UPBLOCK: str = "dilated"
+    # Fuse each refinement stage's eval-mode tail (ResBlock x R_NUM +
+    # upsample-conv) into one Pallas pass (ops/pallas/reschain.py).
+    # T2IGAN_RESCHAIN=0/1 is the env A/B override.  OFF by default: the
+    # first on-chip schedule measured SLOWER than XLA's conv chain
+    # (644 vs 1368 imgs/sec gen+eval) — see docs/PERFORMANCE.md round 3.
+    FUSED_TAIL: bool = False
 
 
 @_frozen

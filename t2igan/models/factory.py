@@ -34,6 +34,7 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         num_residual=cfg.GAN.R_NUM,
         dtype=dtype,
         upblock=cfg.GAN.UPBLOCK,
+        fused_tail=cfg.GAN.FUSED_TAIL,
     )
 
 

@@ -53,6 +53,16 @@ def glu(x: Array, axis: int = -1) -> Array:
     return a * jax.nn.sigmoid(b)
 
 
+def use_fused_tail(flag: bool, train: bool) -> bool:
+    """Trace-time decision for the fused eval stage tail (config
+    ``GAN.FUSED_TAIL`` with the ``T2IGAN_RESCHAIN`` env A/B override)."""
+    import os
+
+    return (not train
+            and os.environ.get("T2IGAN_RESCHAIN",
+                               "1" if flag else "0") == "1")
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-parity defaults (momentum 0.1, eps 1e-5) and the
     reference's N(1, 0.02) scale init."""
@@ -141,8 +151,15 @@ class UpBlock(nn.Module):
     variant: str = "dilated"
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, fold: bool = False):
         import os
+
+        if fold:
+            f2 = self.features * 2
+            kernel = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
+            scale, shift = _bn_affine(BatchNorm(self.dtype,
+                                                name="BatchNorm_0"), f2)
+            return kernel, scale, shift
 
         variant = os.environ.get("T2IGAN_UPBLOCK", self.variant)
         if variant == "pallas" and not train:
@@ -202,14 +219,37 @@ class UpBlock(nn.Module):
         return glu(x)
 
 
+def _bn_affine(bn: "BatchNorm", features: int):
+    """Fold an eval-mode BatchNorm into (scale, shift) by probing the
+    shared child at 0 and 1 — exact, since eval BN is affine per channel."""
+    zero = bn(jnp.zeros((1, 1, 1, features), jnp.float32), False)
+    one = bn(jnp.ones((1, 1, 1, features), jnp.float32), False)
+    shift = zero.reshape(features).astype(jnp.float32)
+    scale = (one - zero).reshape(features).astype(jnp.float32)
+    return scale, shift
+
+
 class ResBlock(nn.Module):
-    """conv3x3->2C + BN + GLU + conv3x3->C + BN, residual (model.py:122-136)."""
+    """conv3x3->2C + BN + GLU + conv3x3->C + BN, residual (model.py:122-136).
+
+    ``fold=True`` (eval-mode fusion support) declares the identical
+    parameters but returns the folded weights
+    ``(k1, scale1, shift1, k2, scale2, shift2)`` instead of computing —
+    consumed by the fused tail kernel (ops/pallas/reschain.py)."""
 
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, fold: bool = False):
+        if fold:
+            f2 = self.features * 2
+            k1 = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
+            s1, b1 = _bn_affine(BatchNorm(self.dtype, name="BatchNorm_0"), f2)
+            k2 = _Conv3x3Param(self.features, name="Conv_1")(self.features)
+            s2, b2 = _bn_affine(BatchNorm(self.dtype, name="BatchNorm_1"),
+                                self.features)
+            return k1, s1, b1, k2, s2, b2
         h = nn.Conv(self.features * 2, (3, 3), padding=1, use_bias=False,
                     kernel_init=ortho(), dtype=self.dtype)(x)
         h = BatchNorm(self.dtype)(h, train)
@@ -276,15 +316,20 @@ class NextStageG(nn.Module):
     num_residual: int = 2
     dtype: Any = jnp.float32
     upblock: str = "dilated"
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, h_code: Array, word_embs: Array,
                  pad_mask: Optional[Array], train: bool,
-                 return_attn: bool = True):
+                 return_attn: bool = True,
+                 rgb_kernel: Optional[Array] = None):
         """h_code: [B, H, W, ngf]; word_embs: [B, L, nef];
         pad_mask: [B, L] bool, True at padding slots.  With
         ``return_attn=False`` the read dispatches to the fused Pallas
-        kernel and no attention map is produced."""
+        kernel and no attention map is produced.  With ``rgb_kernel``
+        (final stage, eval): the RGB head fuses into the stage tail, the
+        2x feature map never materializes, and the RGB image is returned
+        in place of the features."""
         b, hh, ww, c = h_code.shape
         L = word_embs.shape[1]
 
@@ -318,12 +363,65 @@ class NextStageG(nn.Module):
         h_new = h_code * (1.0 - response_gate) + response_gate * mem_out
         h_new = jnp.concatenate([h_new, h_new], axis=-1)  # channel-duplicate
 
-        for i in range(self.num_residual):
-            h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
-        out = UpBlock(self.ngf, self.dtype, self.upblock)(h_new, train)
+        out = self._stage_tail(h_new, train, rgb_kernel)
         if attn is not None:
             attn = attn.reshape(b, hh, ww, L)
         return out, attn
+
+    def _stage_tail(self, h_new: Array, train: bool,
+                    rgb_kernel: Optional[Array] = None) -> Array:
+        """ResBlock x R -> UpBlock.  In eval mode (GAN.FUSED_TAIL, or the
+        T2IGAN_RESCHAIN env A/B override) the whole tail runs as ONE fused
+        Pallas pass per spatial row-band (ops/pallas/reschain.py) — the
+        intermediate [B, H, W, 2ngf] activations never round-trip HBM,
+        which the round-2 device trace showed to be ~half the gen step.
+        Training keeps the module chain (BN needs batch statistics)."""
+        import os
+
+        b, hh, ww, c = h_new.shape
+        if not use_fused_tail(self.fused_tail, train):
+            for i in range(self.num_residual):
+                h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
+            out = UpBlock(self.ngf, self.dtype, self.upblock)(h_new, train)
+            if rgb_kernel is None:
+                return out
+            y = jax.lax.conv_general_dilated(
+                out.astype(self.dtype), rgb_kernel.astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.tanh(y)
+
+        from t2igan.ops.pallas.reschain import (resblock_chain_up_fused,
+                                                resblock_chain_up_reference)
+
+        folds = [ResBlock(self.ngf * 2, self.dtype)(h_new, train, fold=True)
+                 for _ in range(self.num_residual)]
+        up_k, up_s, up_b = UpBlock(self.ngf, self.dtype,
+                                   self.upblock)(h_new, train, fold=True)
+        dt = self.dtype
+        rbp = [(k1.astype(dt), s1, b1, k2.astype(dt), s2, b2)
+               for (k1, s1, b1, k2, s2, b2) in folds]
+        up = (up_k.astype(dt), up_s, up_b)
+        rgbk = None if rgb_kernel is None else rgb_kernel.astype(dt)
+        want_h = rgb_kernel is None  # final stage: only the image is used
+
+        def fused(h, rbp, up, rgbk):
+            return resblock_chain_up_fused(h, rbp, *up, rgb_kernel=rgbk,
+                                           want_h=want_h)
+
+        def ref(h, rbp, up, rgbk):
+            return resblock_chain_up_reference(h, rbp, *up, rgb_kernel=rgbk,
+                                               want_h=want_h)
+
+        # VMEM gate: the single-buffered padded image block (plus weights
+        # and the f32 conv accumulators) must fit the ~16 MB scoped VMEM.
+        p = 2 * self.num_residual + (2 if rgbk is not None else 1)
+        bpe = jnp.dtype(dt).itemsize
+        blk = (hh + 2 * p) * (ww + 2 * p) * c * bpe
+        if blk > 8 * 1024 * 1024:
+            return ref(h_new.astype(dt), rbp, up, rgbk)
+        return jax.lax.platform_dependent(h_new.astype(dt), rbp, up, rgbk,
+                                          tpu=fused, axon=fused, default=ref)
 
 
 class GetImageG(nn.Module):
@@ -339,10 +437,22 @@ class GetImageG(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, h_code: Array):
+    def __call__(self, h_code: Array, fold: bool = False):
         import os
 
-        if os.environ.get("T2IGAN_RGB_KERNEL", "0") == "1":
+        if fold:
+            # Declare the same Conv_0/kernel param but return it folded —
+            # consumed by the final stage's fused tail (the [B, 2H, 2W, C]
+            # feature map then never materializes; ops/pallas/reschain.py).
+            return _Conv3x3Param(3, name="Conv_0")(h_code.shape[-1])
+        if os.environ.get("T2IGAN_RGB_KERNEL", "0") == "1" \
+                and h_code.shape[-1] % 128 == 0:
+            # Shape gate (advisor finding): the kernel's manual HBM->VMEM
+            # DMA requires a 128-lane-aligned channel slice; for the
+            # production C=64 head the compiled TPU path fails to lower,
+            # so unaligned C falls back to the XLA form.  (The default
+            # path fuses this head into the stage tail instead —
+            # ops/pallas/reschain.py — which has no such constraint.)
             from t2igan.ops.pallas.to_rgb import to_rgb_fused
 
             kernel = _Conv3x3Param(3, name="Conv_0")(h_code.shape[-1])
@@ -381,6 +491,7 @@ class GNet(nn.Module):
     num_residual: int = 2
     dtype: Any = jnp.float32
     upblock: str = "dilated"
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -399,13 +510,24 @@ class GNet(nn.Module):
         h_code = InitStageG(ngf * 16, self.dtype,
                             self.upblock)(z_code, c_code, train)
         fake_imgs.append(GetImageG(self.dtype)(h_code))
-        for _ in range(1, self.branch_num):
-            h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
-                                      self.dtype,
-                                      self.upblock)(h_code, word_embs,
-                                                    pad_mask, train,
-                                                    return_attn)
-            fake_imgs.append(GetImageG(self.dtype)(h_code))
+        for i in range(1, self.branch_num):
+            stage = NextStageG(ngf, self.nef, self.num_residual,
+                               self.dtype, self.upblock, self.fused_tail)
+            last = i == self.branch_num - 1
+            if last and use_fused_tail(self.fused_tail, train):
+                # Final stage, eval: fold the RGB head into the fused tail
+                # — the [B, 2H, 2W, ngf] feature map never materializes
+                # (its only consumer is this head).  Module creation order
+                # matches the plain path, so the param tree is identical.
+                head = GetImageG(self.dtype)
+                rgb_k = head(h_code, fold=True)
+                rgb, attn = stage(h_code, word_embs, pad_mask, train,
+                                  return_attn, rgb_kernel=rgb_k)
+                fake_imgs.append(rgb)
+            else:
+                h_code, attn = stage(h_code, word_embs, pad_mask, train,
+                                     return_attn)
+                fake_imgs.append(GetImageG(self.dtype)(h_code))
             if attn is not None:
                 att_maps.append(attn)
         return fake_imgs, att_maps, mu, logvar
@@ -422,6 +544,7 @@ class GDCGan(nn.Module):
     num_residual: int = 2
     dtype: Any = jnp.float32
     upblock: str = "dilated"
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -433,13 +556,22 @@ class GDCGan(nn.Module):
             sent_emb, ca_eps)
         h_code = InitStageG(ngf * 16, self.dtype,
                             self.upblock)(z_code, c_code, train)
-        for _ in range(1, self.branch_num):
-            h_code, attn = NextStageG(ngf, self.nef, self.num_residual,
-                                      self.dtype,
-                                      self.upblock)(h_code, word_embs,
-                                                    pad_mask, train,
-                                                    return_attn)
+        img = None
+        for i in range(1, self.branch_num):
+            stage = NextStageG(ngf, self.nef, self.num_residual,
+                               self.dtype, self.upblock, self.fused_tail)
+            last = i == self.branch_num - 1
+            if last and use_fused_tail(self.fused_tail, train):
+                head = GetImageG(self.dtype)
+                rgb_k = head(h_code, fold=True)
+                img, attn = stage(h_code, word_embs, pad_mask, train,
+                                  return_attn, rgb_kernel=rgb_k)
+            else:
+                h_code, attn = stage(h_code, word_embs, pad_mask, train,
+                                     return_attn)
+                img = None
             if attn is not None:
                 att_maps.append(attn)
-        img = GetImageG(self.dtype)(h_code)
+        if img is None:
+            img = GetImageG(self.dtype)(h_code)
         return [img], att_maps, mu, logvar
