@@ -49,6 +49,12 @@ from t2igan.ops.pallas.upconv import _phase_kernels
 Array = jnp.ndarray
 
 
+def _round_up16(x: int) -> int:
+    """Pad to a multiple of 16: makes (rows, cols) -> rows*cols flattening
+    a layout no-op for both bf16 (16-sublane tiles) and f32."""
+    return ((x + 15) // 16) * 16
+
+
 def _row_chunk(h: int, w: int) -> int:
     """Low-res output rows per program: target ~2048 matmul rows."""
     t = max(1, min(h, 2048 // max(w, 1)))
@@ -57,28 +63,45 @@ def _row_chunk(h: int, w: int) -> int:
     return t
 
 
-def _conv3(h: Array, kern_ref, c_out: int) -> Array:
-    """Valid 3x3 conv of a resident tile as 9 shifted matmuls.
+def _conv3_flat(h: Array, kern_ref, c_out: int) -> Array:
+    """Valid-row / full-width 3x3 conv of a resident tile as 9 BIG 2-D
+    matmuls (v3 structure, after two failed schedules on chip).
 
-    h: [rows, cols, C] values; kern_ref: [3, 3, C, c_out] ref (or array).
-    Returns [rows-2, cols-2, c_out] in f32.
+    h: [rows, cols0, C] with cols0 a multiple of 16 (host-padded), so the
+    (rows, cols0) -> rows*cols0 flatten is a layout NO-OP for bf16/f32.
+    Column taps then become flat sublane offsets: tap (u, v) of output
+    position (i, j) is flat row (i+u)*cols0 + (j+v) — one offset slice
+    feeding one [rows*cols0, C] x [C, F] matmul per tap, the shape the
+    MXU actually likes (the v1 3-D dots lowered as per-row small matmuls:
+    12.7% MFU; the v2 concat/roll forms hit Mosaic not-implementeds —
+    offset-mismatched concat, non-32-bit rotate).
 
-    The dots stay 3-D (contract the channel dim directly): merging
-    (rows, cols) into one matmul dim is NOT a layout no-op when cols is
-    not sublane-aligned, so a 2-D reshape would materialize a relayout
-    copy of the tile per tap — 9 extra buffers that blew the scoped-VMEM
-    budget on the first on-chip run.
+    The width never shrinks: output columns at the tile edge wrap across
+    rows and contain garbage, but they live in the out-of-image halo that
+    the caller's mask re-zeroes after every stage anyway.
+    Returns [rows-2, cols0, c_out] in f32.
     """
-    rows, cols, c_in = h.shape
-    r, cw = rows - 2, cols - 2
-    acc = jnp.zeros((r, cw, c_out), jnp.float32)
+    import os
+
+    rows, cols0, c_in = h.shape
+    r = rows - 2
+    # +2 zero tail: the (u=2, v=2) tap's slice ends 2 elements past the
+    # exact flat length (those positions are wrap garbage, masked later).
+    hf = jnp.concatenate(
+        [h.reshape(rows * cols0, c_in), jnp.zeros((2, c_in), h.dtype)])
+    acc = jnp.zeros((r * cols0, c_out), jnp.float32)
+    # PERF PROBE (wrong results, timing only): "alignedtaps" forces every
+    # tap offset to the 16-aligned u*cols0 — isolates the cost of
+    # unaligned-offset dot operands vs the matmuls themselves.
+    probe_aligned = os.environ.get("T2IGAN_RESCHAIN_PROBE") == "alignedtaps"
     for u in range(3):
         for v in range(3):
+            off = u * cols0 + (0 if probe_aligned else v)
             acc = acc + jax.lax.dot_general(
-                h[u:u + r, v:v + cw, :], kern_ref[u, v],
-                (((2,), (0,)), ((), ())),
+                hf[off:off + r * cols0],
+                kern_ref[u, v], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    return acc
+    return acc.reshape(r, cols0, c_out)
 
 
 def _glu_f32(y: Array) -> Array:
@@ -95,6 +118,10 @@ def _mask_outside(v: Array, g_row, g_col, h_img: int, w_img: int) -> Array:
     re-zeroed before feeding the next conv.  v: [rows, cols, C];
     ``g_row``/``g_col``: global coordinate of v[0, 0] (may be traced).
     """
+    import os
+
+    if os.environ.get("T2IGAN_RESCHAIN_PROBE") == "nomask":
+        return v  # PERF PROBE: wrong at borders, isolates masking cost
     rows, cols = v.shape[0], v.shape[1]
     gi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + g_row
     gj = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) + g_col
@@ -120,15 +147,19 @@ def _make_kernel(t: int, h: int, w: int, c: int, n_res: int,
     p = 2 * n_res + (2 if with_rgb else 1)
     ch = c // 2
 
+    q = 2 if with_rgb else 1
+    wp = _round_up16(w + 2 * p)  # constant tile width through the chain
+
     def kernel(*refs):
         x_ref = refs[0]
         widx = 1
         j = pl.program_id(1)
         r0 = j * t
 
-        hcur = x_ref[0, pl.ds(r0, t + 2 * p), :, :]  # [t+2P, W+2P, C]
-        g = r0 - p  # global low-res row of hcur[0]; col is -p (static)
-        gc = -p
+        hcur = x_ref[0, pl.ds(r0, t + 2 * p), :, :]  # [t+2P, Wp, C]
+        g = r0 - p   # global low-res row of hcur[0]
+        gc = -p      # global low-res col of tile col 0; DRIFTS +1 per conv
+        #            (constant-width convs re-center at (i+1, j+1))
         for _ in range(n_res):
             k1, aff1, k2, aff2 = refs[widx:widx + 4]
             widx += 4
@@ -136,52 +167,64 @@ def _make_kernel(t: int, h: int, w: int, c: int, n_res: int,
             b1 = aff1[1].astype(jnp.float32)
             s2 = aff2[0].astype(jnp.float32)
             b2 = aff2[1].astype(jnp.float32)
-            y = _conv3(hcur, k1, 2 * c) * s1 + b1
+            rows = hcur.shape[0]
+            hf_in = hcur.reshape(rows * wp, c)
+            y = _conv3_flat(hcur, k1, 2 * c) * s1 + b1
+            # the mask kills bn-shifted halo values AND the edge-column
+            # wrap garbage of the full-width conv
             y = _mask_outside(_glu_f32(y), g + 1, gc + 1, h, w).astype(dtype)
-            z = _conv3(y, k2, c) * s2 + b2
-            hcur = hcur[2:-2, 2:-2, :].astype(jnp.float32) + z
+            z = _conv3_flat(y, k2, c) * s2 + b2
+            # Residual in drifted coordinates: z[i, j] sits at input
+            # (i+2, j+2), so add the flat-offset slice of the original
+            # tile (wrap garbage falls in masked halo columns).
+            start = 2 * wp + 2
+            res = hf_in[start:start + (rows - 4) * wp].astype(jnp.float32)
+            hcur = res.reshape(rows - 4, wp, c) + z.reshape(rows - 4, wp, c)
             g, gc = g + 2, gc + 2
             hcur = _mask_outside(hcur, g, gc, h, w).astype(dtype)
-        # hcur: [t+2q, w+2q, C], q = 1 (no rgb) or 2 (rgb)
+        # hcur: [t+2q', Wp, C] with col 0 at global -q' (q' = p - 2R)
         up_ref, aff_up = refs[widx], refs[widx + 1]
         widx += 2
         s_up = aff_up[0].astype(jnp.float32)
         b_up = aff_up[1].astype(jnp.float32)
-        q = 2 if with_rgb else 1
-        tq, wq = t + 2 * (q - 1), w + 2 * (q - 1)
+        tq = t + 2 * (q - 1)
+        hf = jnp.concatenate(
+            [hcur.reshape(hcur.shape[0] * wp, c), jnp.zeros((2, c), dtype)])
         phases = []
         for a in (0, 1):
             for b in (0, 1):
-                acc = jnp.zeros((tq, wq, c), jnp.float32)
+                acc = jnp.zeros((tq * wp, c), jnp.float32)
                 for pp in (0, 1):
                     for qq in (0, 1):
+                        start = (a + pp) * wp + b + qq
                         acc = acc + jax.lax.dot_general(
-                            hcur[a + pp:a + pp + tq, b + qq:b + qq + wq, :],
+                            hf[start:start + tq * wp],
                             up_ref[2 * a + b, pp, qq],
-                            (((2,), (0,)), ((), ())),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                y = acc * s_up + b_up
+                y = acc.reshape(tq, wp, c) * s_up + b_up
                 phases.append(_glu_f32(y))
-        y = jnp.stack(phases)                     # [4, tq, wq, Ch] f32
-        y = y.reshape(2, 2, tq, wq, ch)
-        y = y.transpose(2, 0, 3, 1, 4)            # [tq, 2, wq, 2, Ch]
-        up = y.reshape(2 * tq, 2 * wq, ch)        # halo 2(q-1) hi-res
+        y = jnp.stack(phases)                     # [4, tq, Wp, Ch] f32
+        y = y.reshape(2, 2, tq, wp, ch)
+        y = y.transpose(2, 0, 3, 1, 4)            # [tq, 2, Wp, 2, Ch]
+        up = y.reshape(2 * tq, 2 * wp, ch)        # hi-res; col 0 = -2(q-1)
 
         out_idx = widx + (1 if with_rgb else 0)
         if want_h:
-            if with_rgb:
-                refs[out_idx][0] = up[2:-2, 2:-2, :].astype(dtype)
-            else:
-                refs[out_idx][0] = up.astype(dtype)
+            r0h = 2 * (q - 1)                     # crop to [2r0, 2r0+2t)
+            refs[out_idx][0] = up[r0h:r0h + 2 * t,
+                                  r0h:r0h + 2 * w, :].astype(dtype)
             out_idx += 1
         if with_rgb:
             rgb_ref = refs[widx]
-            # up's halo ring can fall outside the image, where the RGB
-            # conv's zero padding must see zeros.
-            ri = _mask_outside(up[1:-1, 1:-1, :], 2 * r0 - 1, -1,
-                               2 * h, 2 * w).astype(dtype)
-            rgb = _conv3(ri, rgb_ref, 3)
-            refs[out_idx][0] = jnp.tanh(rgb).astype(dtype)
+            # up's halo (outside the image) is nonzero after the affine +
+            # GLU — the RGB conv's zero padding must see zeros there, and
+            # the full-width conv's wrap garbage dies with the same mask.
+            up_m = _mask_outside(up, 2 * (r0 - (q - 1)), -2 * (q - 1),
+                                 2 * h, 2 * w).astype(dtype)
+            rgb = _conv3_flat(up_m[1:1 + 2 * t + 2, :, :], rgb_ref, 3)
+            refs[out_idx][0] = jnp.tanh(
+                rgb[:, 1:1 + 2 * w, :]).astype(dtype)
 
     return kernel, p
 
@@ -221,7 +264,10 @@ def resblock_chain_up_fused(
     with_rgb = rgb_kernel is not None
     kernel, p = _make_kernel(t, h, w, c, n_res, want_h, with_rgb, dtype)
 
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    # Tile width is CONSTANT through the chain and padded to a multiple of
+    # 16 so every (rows, cols) flatten is a layout no-op (see _conv3_flat).
+    wp = _round_up16(w + 2 * p)
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, wp - w - p), (0, 0)))
     const = lambda *shape: pl.BlockSpec(           # noqa: E731
         shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM,
         pipeline_mode=pl.Buffered(1))
@@ -230,7 +276,7 @@ def resblock_chain_up_fused(
     in_specs = [
         # single-buffered revisited image block: fetched once per batch
         # image, shared by every row-chunk program of that image.
-        pl.BlockSpec((1, h + 2 * p, w + 2 * p, c), lambda i, j: (i, 0, 0, 0),
+        pl.BlockSpec((1, h + 2 * p, wp, c), lambda i, j: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM, pipeline_mode=pl.Buffered(1)),
     ]
     flops = 0

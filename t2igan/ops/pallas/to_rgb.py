@@ -10,14 +10,18 @@ Kpack [27, C] (27 = 9 taps x 3 RGB outputs) and X the flattened pixel tile,
 so the padding falls on the 27 -> 32 sublane axis instead of the 3 -> 128
 lane axis (~16% waste instead of ~4200%).  The 9 tap planes are then
 combined with cheap shifted adds over the pixel grid and tanh'd, all in
-VMEM.  STATUS (round 2): semantics are pinned by interpreter-mode tests and a
-custom VJP recomputes gradients through the XLA composition, but the
-compiled TPU path is OFF by default (``T2IGAN_RGB_KERNEL=1`` opts in):
-Mosaic requires the manual HBM->VMEM DMA slice to be tile-aligned in BOTH
-minor dims — rows to 8 (handled by host padding) AND lanes to 128, which
-for C=64 inputs would force a host-side channel pad that doubles the input
-traffic and erases most of the win.  Candidate fix for a later round: pack
-two adjacent pixels per 128-lane row and split the tap matmul accordingly.
+VMEM.  STATUS (round 3): OFF by default and now SUPERSEDED on the default
+eval path — the RGB head fuses into the final refinement stage's tail
+kernel (ops/pallas/reschain.py, ``rgb_kernel=``), where the 256^2 feature
+map never reaches HBM at all, making a standalone RGB kernel moot there.
+This kernel remains an opt-in (``T2IGAN_RGB_KERNEL=1``) for the
+intermediate-scale heads, gated in models/generator.py to 128-lane-aligned
+C: Mosaic requires the manual HBM->VMEM DMA slice to be tile-aligned in
+BOTH minor dims — rows to 8 (handled by host padding) AND lanes to 128,
+which for C=64 inputs would force a host-side channel pad that doubles the
+input traffic.  (The pack-two-pixels-per-row variant that would fix C=64
+alignment is documented but not built — the reschain path made it
+redundant.)
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ CFG = cfg_replace(
     TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 16})
 
 
+@pytest.mark.slow
 def test_roundtrip(tmp_path):
     gen = build_generator(CFG)
     ds = build_discriminators(CFG)

@@ -211,8 +211,10 @@ def test_list_images_and_batches(tmp_path, rng):
     assert batches[0].max() <= 1.0 and batches[0].min() >= 0.0
 
 
-@pytest.mark.parametrize("shape", [(256, 256, 299, 299), (500, 375, 299, 299),
-                                   (32, 32, 299, 299), (64, 48, 32, 32)])
+@pytest.mark.parametrize("shape", [
+    pytest.param((256, 256, 299, 299), marks=pytest.mark.slow),
+    pytest.param((500, 375, 299, 299), marks=pytest.mark.slow),
+    (32, 32, 299, 299), (64, 48, 32, 32)])
 def test_resize_bilinear_torch_matches_interpolate(rng, shape):
     """resize_bilinear_torch == F.interpolate(bilinear, align_corners=False)
     — the kernel pytorch-fid resizes with (inception.py:143-147).  The

@@ -1,6 +1,7 @@
 """Generator export/import roundtrip + sampling from the artifact."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,6 +17,7 @@ CFG = cfg_replace(
     TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 8})
 
 
+@pytest.mark.slow
 def test_export_roundtrip_and_inference(tmp_path, rng):
     gen = build_generator(CFG)
     b = 2

@@ -97,6 +97,7 @@ def test_upblock_variant_equivalence(rng, monkeypatch, variant):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_generator_pyramid_shapes(rng):
     model = GNet(**SMALL)
     z, sent, words, pad = _small_gen_inputs(rng)
@@ -196,6 +197,7 @@ def test_factory_builds_from_config():
     assert all(d.b_jcu for d in ds)
 
 
+@pytest.mark.slow
 def test_gdcgan_single_output(rng):
     """B_DCGAN variant: one RGB head at the final scale (model.py:601-641)."""
     from t2igan.models.generator import GDCGan

@@ -38,6 +38,7 @@ def test_fused_forward_no_mask(data):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_reference(data):
     words, regions, mask = data
 

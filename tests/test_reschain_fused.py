@@ -174,6 +174,7 @@ def test_nextstage_fused_tail_matches_module_chain():
                                atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_gnet_fused_rgb_final_stage_matches_plain():
     """Full GNet: with the fused tail + folded RGB head (CPU reference
     path) the param tree and every output image must match the plain

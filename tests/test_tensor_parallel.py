@@ -45,6 +45,7 @@ def test_tp_sharding_specs_cover_params(setup):
     assert any("model" in s for s in specs)
 
 
+@pytest.mark.slow
 def test_tp_loss_matches_replicated(setup):
     model, variables, batch = setup
     mesh = make_mesh(jax.devices()[:4], axis_names=("data", "model"),
@@ -62,6 +63,7 @@ def test_tp_loss_matches_replicated(setup):
     np.testing.assert_allclose(float(out), float(ref), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_tp_grads_match_replicated(setup):
     model, variables, batch = setup
     mesh = make_mesh(jax.devices()[:4], axis_names=("data", "model"),

@@ -86,6 +86,7 @@ def test_load_from_env(tmp_path, tiny_bpe, monkeypatch):
     assert tok.tokenize("low") == ["low</w>"]
 
 
+@pytest.mark.slow
 def test_matches_hf_tokenizer_if_cached():
     """Parity against HF CLIPTokenizer when its files are available locally
     (skipped in sealed environments)."""

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Compile-heavy jitted train steps: slow tier (the fast tier stays <5 min).
+pytestmark = pytest.mark.slow
+
 from t2igan.config import Config, cfg_replace
 from t2igan.models.clip import ClipConfig, ClipTowerConfig, ClipWithRegionHead
 from t2igan.models.factory import build_discriminators, build_generator

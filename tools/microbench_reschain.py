@@ -52,15 +52,25 @@ def main():
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
                            * scale)
 
-    def timeit(fn, *a):
-        for _ in range(args.warmup):
-            jax.block_until_ready(fn(*a))
+    def timeit(fn, x):
+        # Perturb the input each iteration (cheap on-device add) so no
+        # layer of the stack can replay a cached identical execution, and
+        # fold the output into a checksum that must stay finite.
+        perturb = jax.jit(lambda xx, i: xx + (i * 1e-6).astype(xx.dtype))
+        checks = []
+        for i in range(args.warmup):
+            out = fn(perturb(x, jnp.float32(i)))
+            jax.block_until_ready(out)
         t0 = time.perf_counter()
         out = None
-        for _ in range(args.iters):
-            out = fn(*a)
+        for i in range(args.iters):
+            out = fn(perturb(x, jnp.float32(i)))
         jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / args.iters
+        dt = (time.perf_counter() - t0) / args.iters
+        leaf = jax.tree.leaves(out)[0]
+        checks.append(float(jnp.mean(jnp.abs(leaf.astype(jnp.float32)))))
+        assert np.isfinite(checks[-1]), "non-finite kernel output"
+        return dt, checks[-1]
 
     for hw in args.stages:
         x = jnp.asarray(rng.standard_normal(
@@ -74,14 +84,15 @@ def main():
 
         ref = jax.jit(lambda xx: resblock_chain_up_reference(
             xx, rb, up_k, up_s, up_b))
-        sec = timeit(ref, x)
+        sec, chk = timeit(ref, x)
         # per-image algorithmic GF of the chain (halo overhead excluded)
         gf = 2 * hw * hw * (n_res * 9 * (c * 2 * c + c * c)
                             + 16 * c * c) / 1e9
         print(json.dumps({
             "metric": f"reschain/{hw}x{hw}/xla_ref", "ms_per_batch":
             round(sec * 1e3, 3), "imgs_per_sec": round(b / sec, 1),
-            "mfu_bf16": round(b * gf / sec / 1e3 / 394.0, 3)}))
+            "mfu_bf16": round(b * gf / sec / 1e3 / 394.0, 3),
+            "checksum": round(chk, 5)}))
 
         for chunk in args.chunks:
             rc = None if chunk == 0 else chunk
@@ -90,13 +101,14 @@ def main():
             try:
                 fused = jax.jit(lambda xx, rc=rc: resblock_chain_up_fused(
                     xx, rb, up_k, up_s, up_b, row_chunk=rc))
-                sec = timeit(fused, x)
+                sec, chk = timeit(fused, x)
                 label = "auto" if rc is None else str(rc)
                 print(json.dumps({
                     "metric": f"reschain/{hw}x{hw}/fused_t{label}",
                     "ms_per_batch": round(sec * 1e3, 3),
                     "imgs_per_sec": round(b / sec, 1),
-                    "mfu_bf16": round(b * gf / sec / 1e3 / 394.0, 3)}))
+                    "mfu_bf16": round(b * gf / sec / 1e3 / 394.0, 3),
+                    "checksum": round(chk, 5)}))
             except Exception as e:
                 print(json.dumps({
                     "metric": f"reschain/{hw}x{hw}/fused_t{chunk}",
@@ -106,11 +118,12 @@ def main():
                 fusedr = jax.jit(lambda xx: resblock_chain_up_fused(
                     xx, rb, up_k, up_s, up_b, rgb_kernel=rgb_k,
                     want_h=False))
-                sec = timeit(fusedr, x)
+                sec, chk = timeit(fusedr, x)
                 print(json.dumps({
                     "metric": f"reschain/{hw}x{hw}/fused_rgb_tauto",
                     "ms_per_batch": round(sec * 1e3, 3),
-                    "imgs_per_sec": round(b / sec, 1)}))
+                    "imgs_per_sec": round(b / sec, 1),
+                    "checksum": round(chk, 5)}))
             except Exception as e:
                 print(json.dumps({
                     "metric": f"reschain/{hw}x{hw}/fused_rgb",
