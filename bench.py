@@ -216,6 +216,24 @@ def _enable_cpu_fallback():
         return None
 
 
+def _jit_with_opts(fn, example_args):
+    """jit, optionally with per-compile XLA debug-option overrides from
+    ``T2IGAN_XLA_OPTS`` (comma-separated k=v, e.g.
+    ``xla_tpu_scoped_vmem_limit_kib=65536``).  Backend-specific flags can't
+    ride the XLA_FLAGS env var here — the local CPU flag parser aborts on
+    unknown TPU flags — but per-compile compiler_options are proto-backed
+    and forwarded through the axon relay."""
+    import jax
+
+    opts = os.environ.get("T2IGAN_XLA_OPTS", "")
+    if not opts:
+        return jax.jit(fn)
+    kv = dict(item.split("=", 1) for item in opts.split(",") if item)
+    print(f"bench: compiler_options={kv}", flush=True)
+    compiled = jax.jit(fn).lower(*example_args).compile(compiler_options=kv)
+    return compiled
+
+
 def bench_gen(args, with_eval: bool = False):
     """Text -> 256px image generation; with ``with_eval`` the FID
     Inception-v3 pool3 feature extraction runs fused into the same jitted
@@ -283,18 +301,24 @@ def bench_gen(args, with_eval: bool = False):
         # params must be jit ARGUMENTS, not closure constants — constants are
         # serialized into the uploaded HLO and blow the remote-compile
         # request limit.
-        @jax.jit
         def run_eval(cp, gp, gb, inc):
             fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
             img01 = (fakes[-1].astype(jnp.float32) + 1.0) * 0.5
             return inception.apply(inc, preprocess(img01))["pool3"]
 
+        run_eval = _jit_with_opts(run_eval, (cp, gp, gb, inc_vars))
+
         def run():
             return run_eval(cp, gp, gb, inc_vars)
     else:
-        def run():
+        def run_gen(cp, gp, gb):
             fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
             return fakes[-1]
+
+        run_gen = _jit_with_opts(run_gen, (cp, gp, gb))
+
+        def run():
+            return run_gen(cp, gp, gb)
 
     for _ in range(args.warmup):
         run().block_until_ready()

@@ -81,26 +81,28 @@ def _conv3_flat(h: Array, kern_ref, c_out: int) -> Array:
     the caller's mask re-zeroes after every stage anyway.
     Returns [rows-2, cols0, c_out] in f32.
     """
-    import os
-
     rows, cols0, c_in = h.shape
     r = rows - 2
-    # +2 zero tail: the (u=2, v=2) tap's slice ends 2 elements past the
+    # +2 zero tail: the farthest tap's slice ends 2 elements past the
     # exact flat length (those positions are wrap garbage, masked later).
     hf = jnp.concatenate(
         [h.reshape(rows * cols0, c_in), jnp.zeros((2, c_in), h.dtype)])
+    # v4 (probe-driven): the on-chip cost was NOT the matmuls or the
+    # unaligned tap offsets but the f32 accumulator round-trips of
+    # ``acc = acc + dot`` — 9 full [r*cols0, F] materializations per conv.
+    # Concatenate the three ROW taps into one 3C-wide operand (their flat
+    # offsets u*cols0 are 16-aligned, so Mosaic accepts the concat; the
+    # COLUMN taps stay as offsets) -> 3 dots with 3x the contraction depth
+    # and a third of the accumulator traffic.
+    zu = jnp.concatenate(
+        [hf[u * cols0:u * cols0 + r * cols0 + 2] for u in range(3)],
+        axis=-1)                                     # [r*cols0+2, 3C]
     acc = jnp.zeros((r * cols0, c_out), jnp.float32)
-    # PERF PROBE (wrong results, timing only): "alignedtaps" forces every
-    # tap offset to the 16-aligned u*cols0 — isolates the cost of
-    # unaligned-offset dot operands vs the matmuls themselves.
-    probe_aligned = os.environ.get("T2IGAN_RESCHAIN_PROBE") == "alignedtaps"
-    for u in range(3):
-        for v in range(3):
-            off = u * cols0 + (0 if probe_aligned else v)
-            acc = acc + jax.lax.dot_general(
-                hf[off:off + r * cols0],
-                kern_ref[u, v], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    for v in range(3):
+        kv = kern_ref[:, v].reshape(3 * c_in, c_out)
+        acc = acc + jax.lax.dot_general(
+            zu[v:v + r * cols0], kv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return acc.reshape(r, cols0, c_out)
 
 
@@ -190,18 +192,22 @@ def _make_kernel(t: int, h: int, w: int, c: int, n_res: int,
         tq = t + 2 * (q - 1)
         hf = jnp.concatenate(
             [hcur.reshape(hcur.shape[0] * wp, c), jnp.zeros((2, c), dtype)])
+        # row-parity taps pre-concatenated (aligned offsets, see
+        # _conv3_flat): 2 dots per phase instead of 4.
+        za = [jnp.concatenate(
+                  [hf[(a + pp) * wp:(a + pp) * wp + tq * wp + 2]
+                   for pp in (0, 1)], axis=-1)
+              for a in (0, 1)]                       # [tq*wp+2, 2C] x2
         phases = []
         for a in (0, 1):
             for b in (0, 1):
                 acc = jnp.zeros((tq * wp, c), jnp.float32)
-                for pp in (0, 1):
-                    for qq in (0, 1):
-                        start = (a + pp) * wp + b + qq
-                        acc = acc + jax.lax.dot_general(
-                            hf[start:start + tq * wp],
-                            up_ref[2 * a + b, pp, qq],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                for qq in (0, 1):
+                    kq = up_ref[2 * a + b, :, qq].reshape(2 * c, c)
+                    acc = acc + jax.lax.dot_general(
+                        za[a][b + qq:b + qq + tq * wp], kq,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 y = acc.reshape(tq, wp, c) * s_up + b_up
                 phases.append(_glu_f32(y))
         y = jnp.stack(phases)                     # [4, tq, Wp, Ch] f32
