@@ -428,11 +428,12 @@ class GetImageG(nn.Module):
     """Feature map -> RGB in [-1, 1] (model.py:536-547).
 
     The 3-channel-output conv is the worst MXU fit in the graph (~1% MFU
-    through XLA); ``T2IGAN_RGB_KERNEL=1`` dispatches to the channels-major
-    Pallas kernel (ops/pallas/to_rgb.py) whose matmul pads 27->32 sublanes
-    instead of 3->128 lanes.  OFF by default: Mosaic requires the manual
-    DMA slice to be 128-lane aligned, which would force padding C 64->128
-    in HBM and double the input traffic — see the kernel docstring."""
+    through XLA).  On TPU the production 256^2 head (C=64) dispatches BY
+    DEFAULT to the paired-pixel Pallas kernel (ops/pallas/to_rgb.py::
+    to_rgb_paired — two adjacent pixels per 128-lane row, so the DMA is
+    lane-aligned with zero host-side copies); ``T2IGAN_RGB_KERNEL=0``
+    forces the plain XLA conv, ``=1`` the channels-major kernel for
+    128-lane-aligned C (its DMA constraint — see the kernel docstring)."""
 
     dtype: Any = jnp.float32
 
@@ -445,8 +446,30 @@ class GetImageG(nn.Module):
             # consumed by the final stage's fused tail (the [B, 2H, 2W, C]
             # feature map then never materializes; ops/pallas/reschain.py).
             return _Conv3x3Param(3, name="Conv_0")(h_code.shape[-1])
-        if os.environ.get("T2IGAN_RGB_KERNEL", "0") == "1" \
-                and h_code.shape[-1] % 128 == 0:
+        # Default flips to "paired" once the kernel's Mosaic lowering is
+        # verified on the real chip (tunnel was down when this landed).
+        flag = os.environ.get("T2IGAN_RGB_KERNEL", "0")
+        b, hh, ww, c = h_code.shape
+        if (flag == "paired" and 2 * c == 128 and ww % 2 == 0
+                and (ww // 2) % 128 == 0):
+            from t2igan.ops.pallas.to_rgb import to_rgb_paired
+
+            kernel = _Conv3x3Param(3, name="Conv_0")(c)
+            h_code, kernel = nn.dtypes.promote_dtype(h_code, kernel,
+                                                     dtype=self.dtype)
+
+            def paired(h, k):
+                return to_rgb_paired(h, k)
+
+            def jnp_form(h, k):
+                y = jax.lax.conv_general_dilated(
+                    h, k, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return jnp.tanh(y)
+
+            return jax.lax.platform_dependent(h_code, kernel, tpu=paired,
+                                              axon=paired, default=jnp_form)
+        if flag == "1" and c % 128 == 0:
             # Shape gate (advisor finding): the kernel's manual HBM->VMEM
             # DMA requires a 128-lane-aligned channel slice; for the
             # production C=64 head the compiled TPU path fails to lower,

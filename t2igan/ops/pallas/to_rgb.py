@@ -34,6 +34,168 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# ---------------------------------------------------------------------------
+# Paired-pixel variant: the C=64 production head (VERDICT r2 #3)
+# ---------------------------------------------------------------------------
+#
+# The docstring's fix idea, built: pack TWO adjacent pixels per 128-lane row
+# (C=64 channels each -> lanes [0,64) even pixel, [64,128) odd pixel), so the
+# HBM->VMEM DMA is lane-aligned WITHOUT padding channels 64->128.  The packed
+# view is a free reshape of the NHWC tensor ([B,H,W,64] -> [B,H,W/2,128]);
+# no host-side pad copies at all — the vertical conv halo is fetched by
+# per-block row DMAs and the out-of-image edge rows are zeroed in VMEM.
+#
+# One flat 2-D dot per row block: Kp [56,128] @ X^T [128,(t+2)*P2] with 54
+# used rows = 3 RGB x 9 taps x 2 lane-halves; a tap's coefficient sits on the
+# low or high 64 lanes according to which pixel of the pair it multiplies.
+# With out[x] = sum_dx K[dx] . in[x+dx-1] (padding=1):
+#   even x=2j reads in[2j-1] (pair j-1 HIGH), in[2j] (pair j LOW),
+#              in[2j+1] (pair j HIGH);
+#   odd  x=2j+1 reads in[2j] (pair j LOW), in[2j+1] (pair j HIGH),
+#              in[2j+2] (pair j+1 LOW).
+# So each parity needs two same-pair plane sums plus ONE neighbour-pair sum,
+# realized as a single f32 lane-roll (32-bit roll is Mosaic-supported; the
+# wrapped lane is re-zeroed by an f32 mask multiply, which is exactly the
+# conv's zero padding at x=-1 / x=W).
+
+
+def _plane(p, dy: int, dx: int, half: int, t: int):
+    """[3, t, P2] f32 view of the tap plane (dy, dx, half) over the t output
+    rows.  Plane rows are ordered m = ((dy*3+dx)*2+half)*3+rgb; output row y
+    needs chunk-local input row y+dy (the DMA put image row i*t-1 at local
+    row 0)."""
+    k = ((dy * 3 + dx) * 2 + half) * 3
+    return p[k:k + 3, dy:dy + t, :]
+
+
+def _make_paired_kernel(t: int, h: int, p2: int, n_i: int):
+    """x_hbm: [B, H, P2, 128] packed pairs; k_ref: [56, 128]; out block
+    [1, 3, 2, t, P2] (parity-planar; the caller interleaves).  n_i = H // t
+    row blocks per image."""
+
+    def kernel(x_hbm, k_ref, out_ref, xs_ref, sem0, sem1, sem2):
+        b_idx = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * t
+        # Interior rows (always valid): image rows [r0, r0+t) -> xs[1:t+1].
+        main = pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(r0, t)], xs_ref.at[pl.ds(1, t)], sem0)
+        main.start()
+        # Halo rows: image row r0-1 -> xs[0], r0+t -> xs[t+1]; out-of-image
+        # rows fetch a clamped in-bounds row and are zeroed below.
+        top = pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(jnp.maximum(r0 - 1, 0), 1)],
+            xs_ref.at[pl.ds(0, 1)], sem1)
+        top.start()
+        bot = pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(jnp.minimum(r0 + t, h - 1), 1)],
+            xs_ref.at[pl.ds(t + 1, 1)], sem2)
+        bot.start()
+        main.wait()
+        top.wait()
+        bot.wait()
+        top_valid = (i > 0).astype(xs_ref.dtype)
+        bot_valid = (i < n_i - 1).astype(xs_ref.dtype)
+        xs_ref[0:1] = xs_ref[0:1] * top_valid
+        xs_ref[t + 1:t + 2] = xs_ref[t + 1:t + 2] * bot_valid
+
+        xsf = xs_ref[:].reshape((t + 2) * p2, 128)  # free: p2 % 16 == 0
+        p = jax.lax.dot_general(
+            k_ref[:], xsf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [56, (t+2)*P2]
+        p = p.reshape(56, t + 2, p2)                 # free: p2 % 128 == 0
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (3, t, p2), 2)
+        # even parity: pair j-1 HIGH of dx=0 rolls right (zero at j=0).
+        re = sum(_plane(p, dy, 0, 1, t) for dy in range(3))
+        re = pltpu.roll(re, 1, 2) * (lanes > 0).astype(jnp.float32)
+        pe = re + sum(_plane(p, dy, 1, 0, t) + _plane(p, dy, 2, 1, t)
+                      for dy in range(3))
+        # odd parity: pair j+1 LOW of dx=2 rolls left (zero at j=P2-1).
+        ro = sum(_plane(p, dy, 2, 0, t) for dy in range(3))
+        ro = pltpu.roll(ro, p2 - 1, 2) * (lanes < p2 - 1).astype(jnp.float32)
+        po = ro + sum(_plane(p, dy, 0, 0, t) + _plane(p, dy, 1, 1, t)
+                      for dy in range(3))
+        out_ref[0, :, 0] = jnp.tanh(pe).astype(out_ref.dtype)
+        out_ref[0, :, 1] = jnp.tanh(po).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def to_rgb_paired(x: jnp.ndarray, kernel: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """``tanh(conv3x3(x, kernel, padding=1))`` for 2*C == 128 inputs.
+
+    Args: x: [B, H, W, C] with C == 64, W even, (W//2) % 128 == 0;
+    kernel: [3, 3, C, 3].  Returns [B, H, W, 3].  Differentiable via
+    XLA recompute (same contract as :func:`to_rgb_fused`)."""
+    return _paired_forward(x, kernel, interpret)
+
+
+def _paired_fwd(x, kernel, interpret):
+    return _paired_forward(x, kernel, interpret), (x, kernel)
+
+
+def _paired_bwd(interpret, residuals, g):
+    x, kernel = residuals
+    _, vjp = jax.vjp(_naive, x, kernel)
+    return vjp(g)
+
+
+def _paired_forward(x: jnp.ndarray, kernel: jnp.ndarray,
+                    interpret: bool) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    if 2 * c != 128 or w % 2 or (w // 2) % 128:
+        raise ValueError(f"to_rgb_paired needs C=64 and W/2 % 128 == 0, "
+                         f"got {x.shape}")
+    p2 = w // 2
+    t = 64
+    while h % t:
+        t //= 2
+
+    xp = x.reshape(b, h, p2, 2 * c)
+    # Kp rows m = ((dy*3+dx)*2 + half)*3 + rgb; channel c of the tap sits at
+    # lane c (half=0, even pixel of the pair) or 64+c (half=1, odd pixel).
+    k = kernel.astype(x.dtype)                       # [3, 3, C, 3]
+    kp = jnp.zeros((56, 128), x.dtype)
+    rows = k.transpose(0, 1, 3, 2).reshape(27, c)    # (dy, dx, rgb) major
+    idx = jnp.arange(27)
+    for half in (0, 1):
+        m = ((idx // 3) * 2 + half) * 3 + (idx % 3)
+        kp = kp.at[m, half * c:(half + 1) * c].set(rows)
+
+    out = pl.pallas_call(
+        _make_paired_kernel(t, h, p2, h // t),
+        out_shape=jax.ShapeDtypeStruct((b, 3, 2, h, p2), x.dtype),
+        grid=(b, h // t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((56, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(1)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, 2, t, p2), lambda i, j: (i, 0, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((t + 2, p2, 128), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * p2 * 56 * 128,
+            bytes_accessed=2 * b * h * w * c + b * h * w * 3 * 2,
+            transcendentals=b * h * w * 3),
+        interpret=interpret,
+    )(xp, kp)
+    # [B, 3, 2, H, P2] -> [B, H, P2, 2, 3] -> [B, H, W, 3]: W index = 2j+p.
+    return out.transpose(0, 3, 4, 2, 1).reshape(b, h, w, 3)
+
+
+to_rgb_paired.defvjp(_paired_fwd, _paired_bwd)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -51,6 +51,55 @@ def test_to_rgb_fused_grads_match_naive(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(1, 64, 256, 64),
+                                   (2, 128, 256, 64)])  # multi-block halo
+def test_to_rgb_paired_matches_naive(rng, shape):
+    """The paired-pixel production-head kernel (C=64 packed two pixels per
+    128-lane row) matches conv3x3+tanh, including the zero-pad borders the
+    lane rolls and edge-row zeroing implement."""
+    from t2igan.ops.pallas.to_rgb import to_rgb_paired
+
+    b, h, w, c = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, c, 3)).astype(np.float32))
+    ref = _naive(x, k)
+    got = to_rgb_paired(x, k, True)
+    assert got.shape == (b, h, w, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_to_rgb_paired_rejects_unsupported_shapes(rng):
+    from t2igan.ops.pallas.to_rgb import to_rgb_paired
+
+    x = jnp.zeros((1, 8, 8, 16))
+    k = jnp.zeros((3, 3, 16, 3))
+    with pytest.raises(ValueError):
+        to_rgb_paired(x, k, True)
+
+
+def test_to_rgb_paired_grads_match_naive(rng):
+    from t2igan.ops.pallas.to_rgb import to_rgb_paired
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 256, 64)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, 64, 3)).astype(np.float32))
+
+    def loss_fused(x, k):
+        return jnp.sum(to_rgb_paired(x, k, True) ** 2)
+
+    def loss_naive(x, k):
+        return jnp.sum(_naive(x, k) ** 2)
+
+    gx_f, gk_f = jax.grad(loss_fused, argnums=(0, 1))(x, k)
+    gx_n, gk_n = jax.grad(loss_naive, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_get_image_g_kernel_flag_equivalence(rng, monkeypatch):
     """GetImageG's kernel path and the plain conv share one param tree and
     agree (CPU takes the platform-dispatch jnp branch)."""
