@@ -310,7 +310,10 @@ def bench_gen(args, with_eval: bool = False):
         # request limit.
         def run_eval(cp, gp, gb, inc):
             fakes, _ = sampler(cp, gp, gb, ids, mask, z, eps)
-            img01 = (fakes[-1].astype(jnp.float32) + 1.0) * 0.5
+            # The [-1,1]->[0,1] rescale and bilinear 256->299 resize run in
+            # the bench dtype (bf16 mode = bf16 end-to-end eval, halving the
+            # resize HBM traffic); the f32 mode and the eval CLIs keep f32.
+            img01 = ((fakes[-1] + 1.0) * 0.5).astype(dtype)
             return inception.apply(inc, preprocess(img01))["pool3"]
 
         run_eval = _jit_with_opts(run_eval, (cp, gp, gb, inc_vars))
@@ -470,7 +473,7 @@ def bench_ablate(args):
 
     @jax.jit
     def eval_stage(inc, img):
-        img01 = (img.astype(jnp.float32) + 1.0) * 0.5
+        img01 = ((img + 1.0) * 0.5).astype(dtype)
         return inception.apply(inc, preprocess(img01))["pool3"]
 
     cp, gp = clip_vars["params"], g_vars["params"]

@@ -39,12 +39,14 @@ def _avg_pool3x3(x: Array, count_include_pad: bool) -> Array:
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)])
     if count_include_pad:
-        return sums / 9.0
-    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+        return sums * jnp.asarray(1.0 / 9.0, x.dtype)
+    ones = jnp.ones(x.shape[1:3], jnp.float32)[None, :, :, None]
     counts = jax.lax.reduce_window(
         ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)])
-    return sums / counts
+    # Multiply by the (tiny, constant) reciprocal map instead of dividing
+    # the full [B, H, W, C] tensor — divides are far slower on the VPU.
+    return sums * (1.0 / counts).astype(x.dtype)
 
 
 def _max_pool(x: Array, window: int, stride: int, pad: int = 0) -> Array:
