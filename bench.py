@@ -74,15 +74,32 @@ def _supervise() -> int:
          float(os.environ.get("T2IGAN_BENCH_ATTEMPT2_S", "1200"))),
     ]
     purged = False
+    tunnel_retries = int(os.environ.get("T2IGAN_BENCH_TUNNEL_RETRIES", "5"))
     queue = list(plan)
     rc = 1
     while queue:
         env_over, budget = queue.pop(0)
         env = dict(os.environ, T2IGAN_BENCH_CHILD="1", **env_over)
         try:
+            t_start = time.time()
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
                 env=env, timeout=budget).returncode
+            if (rc > 0 and time.time() - t_start < 120
+                    and tunnel_retries > 0):
+                # (rc < 0 — a signal death — is handled below: purge the
+                # compile cache first, since stale AOT entries SIGILL fast.)
+                # A fast failure is almost always the axon tunnel refusing
+                # backend init (observed: multi-hour outages) — not a graph
+                # bug.  Wait and retry the SAME attempt instead of burning
+                # the fallback variant.
+                tunnel_retries -= 1
+                print("bench: child failed within 120s (tunnel down?); "
+                      f"retrying in 120s ({tunnel_retries} retries left)",
+                      flush=True)
+                time.sleep(120)
+                queue.insert(0, (env_over, budget))
+                continue
         except subprocess.TimeoutExpired:
             print(f"bench: attempt exceeded its {budget:.0f}s budget "
                   f"(compile blowup?); falling back to the next variant",

@@ -78,3 +78,92 @@ def test_validate_cache_rescans_on_host_change(fake_cache):
 
 def test_validate_cache_missing_dir():
     assert bench.validate_cache("/nonexistent/cache/dir") == 0
+
+
+# ---------------------------------------------------------------------------
+# _supervise retry/fallback ladder (driver-facing bench armor)
+# ---------------------------------------------------------------------------
+
+
+class _FakeRun:
+    """Scripted subprocess.run replacement: pops (rc_or_'timeout', env_check)
+    outcomes; records the env overrides each attempt ran with."""
+
+    def __init__(self, outcomes, clock):
+        self.outcomes = list(outcomes)
+        self.calls = []
+        self.clock = clock
+
+    def __call__(self, argv, env=None, timeout=None):
+        kind = self.outcomes.pop(0)
+        self.calls.append({k: env.get(k) for k in
+                           ("T2IGAN_UPBLOCK", "T2IGAN_RGB_KERNEL")})
+        if kind == "timeout":
+            import subprocess
+            self.clock["t"] += timeout
+            raise subprocess.TimeoutExpired(argv, timeout)
+        if kind == "slow-fail":
+            self.clock["t"] += 500.0
+            return type("R", (), {"returncode": 1})()
+        return type("R", (), {"returncode": kind})()
+
+
+def _run_supervise(monkeypatch, outcomes, retries="1"):
+    clock = {"t": 0.0}
+    fake = _FakeRun(outcomes, clock)
+    monkeypatch.setattr(bench.time, "time", lambda: clock["t"])
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: clock.__setitem__("t", clock["t"] + s))
+    import subprocess
+    monkeypatch.setattr(subprocess, "run", fake)
+    monkeypatch.setenv("T2IGAN_BENCH_TUNNEL_RETRIES", retries)
+    return bench._supervise(), fake
+
+
+def test_supervise_ok_first_try(monkeypatch):
+    rc, fake = _run_supervise(monkeypatch, [0])
+    assert rc == 0
+    assert fake.calls[0]["T2IGAN_UPBLOCK"] is None
+
+
+def test_supervise_retries_fast_tunnel_failure(monkeypatch):
+    """A failure within 120s is treated as a tunnel outage: the SAME attempt
+    retries (same env), not the fallback variant."""
+    rc, fake = _run_supervise(monkeypatch, [1, 0], retries="2")
+    assert rc == 0
+    assert fake.calls[0] == fake.calls[1]  # same variant retried
+
+
+def test_supervise_falls_back_on_timeout(monkeypatch):
+    """A budget overrun moves to the slow-but-safe variant (naive UpBlock,
+    XLA RGB head)."""
+    rc, fake = _run_supervise(monkeypatch, ["timeout", 0])
+    assert rc == 0
+    assert fake.calls[1]["T2IGAN_UPBLOCK"] == "naive"
+    assert fake.calls[1]["T2IGAN_RGB_KERNEL"] == "0"
+
+
+def test_supervise_falls_back_on_slow_failure(monkeypatch):
+    """A real (slow) child failure also tries the safe variant once instead
+    of leaving the driver with no number."""
+    rc, fake = _run_supervise(monkeypatch, ["slow-fail", 0], retries="0")
+    assert rc == 0
+    assert fake.calls[1]["T2IGAN_UPBLOCK"] == "naive"
+
+
+def test_supervise_surfaces_double_failure(monkeypatch):
+    rc, fake = _run_supervise(monkeypatch, ["slow-fail", "slow-fail"],
+                              retries="0")
+    assert rc == 1
+    assert len(fake.calls) == 2
+
+
+def test_supervise_purges_on_fast_signal_death(monkeypatch, tmp_path):
+    """A signal death (rc<0) purges the compile cache and retries the same
+    variant — it must NOT be misread as a tunnel outage."""
+    monkeypatch.setattr(bench, "CACHE_DIR", str(tmp_path / "cache"))
+    os.makedirs(bench.CACHE_DIR, exist_ok=True)
+    rc, fake = _run_supervise(monkeypatch, [-4, 0], retries="5")
+    assert rc == 0
+    assert not os.path.isdir(bench.CACHE_DIR)  # purged
+    assert fake.calls[0] == fake.calls[1]
