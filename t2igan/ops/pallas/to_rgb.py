@@ -196,6 +196,151 @@ def _paired_forward(x: jnp.ndarray, kernel: jnp.ndarray,
 to_rgb_paired.defvjp(_paired_fwd, _paired_bwd)
 
 
+# ---------------------------------------------------------------------------
+# GLU-fused variant: consumes the PRE-GLU [B, H, W, 2C] stage output
+# ---------------------------------------------------------------------------
+#
+# The trace decode (docs/PERFORMANCE.md round 3) shows XLA fusing the GLU
+# into the RGB conv's fetch — the pre-GLU 2C=128 tensor is what actually
+# lives in HBM.  This variant reads THAT tensor (lanes already 128-aligned,
+# no pixel pairing needed) and computes GLU + conv3x3 + tanh in VMEM:
+# glu(x) = x[..., :C] * sigmoid(x[..., C:]), realized as one f32 lane-roll
+# (sigmoid of the rolled tensor multiplies the low half; the kernel rows
+# are zero over the high half, so its garbage never reaches the output).
+# Tap combination mirrors the paired kernel: one flat 2-D dot against a
+# 32-row packed kernel, sublane-offset row slices, two lane-rolls for the
+# dx=0/2 taps.  Whether this beats variant A depends on which producer
+# fusion XLA builds — measured at the full-graph level, not predicted.
+
+
+def _make_glu_kernel(t: int, h: int, w: int, c: int, n_i: int):
+    """x_hbm: [B, H, W, 2C] pre-GLU; k_ref: [32, 2C] (high-half zeros);
+    out block [1, 3, t, W]."""
+
+    def kernel(x_hbm, k_ref, out_ref, xs_ref, sem0, sem1, sem2):
+        b_idx = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * t
+        main = pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(r0, t)], xs_ref.at[pl.ds(1, t)], sem0)
+        main.start()
+        top = pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(jnp.maximum(r0 - 1, 0), 1)],
+            xs_ref.at[pl.ds(0, 1)], sem1)
+        top.start()
+        bot = pltpu.make_async_copy(
+            x_hbm.at[b_idx, pl.ds(jnp.minimum(r0 + t, h - 1), 1)],
+            xs_ref.at[pl.ds(t + 1, 1)], sem2)
+        bot.start()
+        main.wait()
+        top.wait()
+        bot.wait()
+        top_valid = (i > 0).astype(xs_ref.dtype)
+        bot_valid = (i < n_i - 1).astype(xs_ref.dtype)
+        xs_ref[0:1] = xs_ref[0:1] * top_valid
+        xs_ref[t + 1:t + 2] = xs_ref[t + 1:t + 2] * bot_valid
+
+        # GLU: low lanes gated by sigmoid of the high lanes (roll brings
+        # lane C+j onto lane j; the rolled low half is garbage on the high
+        # lanes, killed by the kernel's zero rows there).
+        xf = xs_ref[:].astype(jnp.float32)
+        gated = xf * jax.nn.sigmoid(pltpu.roll(xf, c, 2))
+        g = gated.astype(xs_ref.dtype).reshape((t + 2) * w, 2 * c)
+        p = jax.lax.dot_general(
+            k_ref[:], g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [32, (t+2)*W]
+        p = p.reshape(32, t + 2, w)                      # free: w % 128 == 0
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (3, t, w), 2)
+
+        def plane(dy, dx):
+            k = (dy * 3 + dx) * 3
+            return p[k:k + 3, dy:dy + t, :]
+
+        mid = sum(plane(dy, 1) for dy in range(3))
+        re = sum(plane(dy, 0) for dy in range(3))
+        re = pltpu.roll(re, 1, 2) * (lanes > 0).astype(jnp.float32)
+        ro = sum(plane(dy, 2) for dy in range(3))
+        ro = pltpu.roll(ro, w - 1, 2) * (lanes < w - 1).astype(jnp.float32)
+        out_ref[0] = jnp.tanh(mid + re + ro).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def to_rgb_glu(x: jnp.ndarray, kernel: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
+    """``tanh(conv3x3(glu(x), kernel, padding=1))`` over pre-GLU input.
+
+    Args: x: [B, H, W, 2C] with 2C == 128, W % 128 == 0; glu splits the
+    channel dim in half (value, gate); kernel: [3, 3, C, 3].
+    Returns [B, H, W, 3].  Differentiable via XLA recompute."""
+    return _glu_forward(x, kernel, interpret)
+
+
+def _naive_glu(x, kernel):
+    c = x.shape[-1] // 2
+    g = x[..., :c] * jax.nn.sigmoid(x[..., c:].astype(jnp.float32)
+                                    ).astype(x.dtype)
+    return _naive(g, kernel)
+
+
+def _glu_fwd(x, kernel, interpret):
+    return _glu_forward(x, kernel, interpret), (x, kernel)
+
+
+def _glu_bwd(interpret, residuals, g):
+    x, kernel = residuals
+    _, vjp = jax.vjp(_naive_glu, x, kernel)
+    return vjp(g)
+
+
+def _glu_forward(x: jnp.ndarray, kernel: jnp.ndarray,
+                 interpret: bool) -> jnp.ndarray:
+    b, h, w, c2 = x.shape
+    c = c2 // 2
+    if c2 != 128 or w % 128:
+        raise ValueError(f"to_rgb_glu needs 2C=128 and W % 128 == 0, "
+                         f"got {x.shape}")
+    t = 32
+    while h % t:
+        t //= 2
+
+    # Rows m = (dy*3+dx)*3 + rgb over the LOW half lanes; high half zero.
+    k = kernel.astype(x.dtype)                           # [3, 3, C, 3]
+    kp = jnp.zeros((32, 128), x.dtype)
+    kp = kp.at[:27, :c].set(k.transpose(0, 1, 3, 2).reshape(27, c))
+
+    out = pl.pallas_call(
+        _make_glu_kernel(t, h, w, c, h // t),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), x.dtype),
+        grid=(b, h // t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((32, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM,
+                         pipeline_mode=pl.Buffered(1)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, t, w), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((t + 2, w, 128), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 32 * 128,
+            bytes_accessed=2 * b * h * w * c2 + b * h * w * 3 * 2,
+            transcendentals=b * h * w * (3 + c)),
+        interpret=interpret,
+    )(x, kp)
+    return out.transpose(0, 2, 3, 1)
+
+
+to_rgb_glu.defvjp(_glu_fwd, _glu_bwd)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

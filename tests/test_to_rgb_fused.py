@@ -114,3 +114,45 @@ def test_get_image_g_kernel_flag_equivalence(rng, monkeypatch):
     got = module.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def _naive_glu(x, k):
+    c = x.shape[-1] // 2
+    g = x[..., :c] * jax.nn.sigmoid(x[..., c:].astype(jnp.float32)
+                                    ).astype(x.dtype)
+    return _naive(g, k)
+
+
+@pytest.mark.parametrize("shape", [(1, 32, 128, 128),
+                                   (2, 64, 256, 128)])  # multi-block halo
+def test_to_rgb_glu_matches_naive(rng, shape):
+    """The GLU-fused variant (pre-GLU 2C=128 input) matches
+    glu -> conv3x3 -> tanh, including borders."""
+    from t2igan.ops.pallas.to_rgb import to_rgb_glu
+
+    b, h, w, c2 = shape
+    x = jnp.asarray(rng.standard_normal((b, h, w, c2)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, c2 // 2, 3)).astype(np.float32))
+    ref = _naive_glu(x, k)
+    got = to_rgb_glu(x, k, True)
+    assert got.shape == (b, h, w, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_to_rgb_glu_grads_match_naive(rng):
+    from t2igan.ops.pallas.to_rgb import to_rgb_glu
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 128, 128)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, 64, 3)).astype(np.float32))
+
+    gx_f, gk_f = jax.grad(lambda x, k: jnp.sum(to_rgb_glu(x, k, True) ** 2),
+                          argnums=(0, 1))(x, k)
+    gx_n, gk_n = jax.grad(lambda x, k: jnp.sum(_naive_glu(x, k) ** 2),
+                          argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
+                               rtol=1e-4, atol=1e-4)
