@@ -53,6 +53,15 @@ def glu(x: Array, axis: int = -1) -> Array:
     return a * jax.nn.sigmoid(b)
 
 
+def use_glu_rgb_head(train: bool) -> bool:
+    """Trace-time decision for the GLU-fused RGB head (``T2IGAN_RGB_KERNEL=
+    glu``): the final stage folds its RGB conv kernel and the stage tail
+    feeds the pre-GLU UpBlock output to ops/pallas/to_rgb.py::to_rgb_glu."""
+    import os
+
+    return not train and os.environ.get("T2IGAN_RGB_KERNEL", "0") == "glu"
+
+
 def use_fused_tail(flag: bool, train: bool) -> bool:
     """Trace-time decision for the fused eval stage tail (config
     ``GAN.FUSED_TAIL`` with the ``T2IGAN_RESCHAIN`` env A/B override)."""
@@ -151,7 +160,8 @@ class UpBlock(nn.Module):
     variant: str = "dilated"
 
     @nn.compact
-    def __call__(self, x, train: bool, fold: bool = False):
+    def __call__(self, x, train: bool, fold: bool = False,
+                 pre_glu: bool = False):
         import os
 
         if fold:
@@ -162,6 +172,8 @@ class UpBlock(nn.Module):
             return kernel, scale, shift
 
         variant = os.environ.get("T2IGAN_UPBLOCK", self.variant)
+        if variant == "pallas" and pre_glu:
+            variant = self.variant if self.variant != "pallas" else "dilated"
         if variant == "pallas" and not train:
             # Fused eval path: upsample+conv+BN(running stats)+GLU in one
             # Pallas kernel (ops/pallas/upconv.py).  The BN affine is folded
@@ -216,6 +228,11 @@ class UpBlock(nn.Module):
             x = _DilatedUpConv(self.features * 2, self.dtype,
                                name="Conv_0")(x)
         x = BatchNorm(self.dtype)(x, train)
+        if pre_glu:
+            # The GLU-fused RGB head (ops/pallas/to_rgb.py::to_rgb_glu)
+            # consumes the pre-GLU tensor directly — the trace decode shows
+            # that is what XLA keeps in HBM anyway.
+            return x
         return glu(x)
 
 
@@ -382,7 +399,30 @@ class NextStageG(nn.Module):
         if not use_fused_tail(self.fused_tail, train):
             for i in range(self.num_residual):
                 h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
-            out = UpBlock(self.ngf, self.dtype, self.upblock)(h_new, train)
+            up = UpBlock(self.ngf, self.dtype, self.upblock)
+            flag = os.environ.get("T2IGAN_RGB_KERNEL", "0")
+            if (rgb_kernel is not None and flag == "glu" and not train
+                    and 2 * self.ngf == 128 and (2 * ww) % 128 == 0):
+                # Variant B of the RGB head A/B: the stage UpBlock stops at
+                # conv+BN (pre-GLU, 2C=128 lanes) and the Pallas kernel
+                # computes GLU + conv3x3 + tanh in VMEM.
+                from t2igan.ops.pallas.to_rgb import to_rgb_glu
+
+                pre = up(h_new, train, pre_glu=True).astype(self.dtype)
+                rgbk = rgb_kernel.astype(self.dtype)
+
+                def fused(p, k):
+                    return to_rgb_glu(p, k)
+
+                def jnp_form(p, k):
+                    y = jax.lax.conv_general_dilated(
+                        glu(p), k, (1, 1), ((1, 1), (1, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    return jnp.tanh(y)
+
+                return jax.lax.platform_dependent(
+                    pre, rgbk, tpu=fused, axon=fused, default=jnp_form)
+            out = up(h_new, train)
             if rgb_kernel is None:
                 return out
             y = jax.lax.conv_general_dilated(
@@ -537,11 +577,13 @@ class GNet(nn.Module):
             stage = NextStageG(ngf, self.nef, self.num_residual,
                                self.dtype, self.upblock, self.fused_tail)
             last = i == self.branch_num - 1
-            if last and use_fused_tail(self.fused_tail, train):
-                # Final stage, eval: fold the RGB head into the fused tail
-                # — the [B, 2H, 2W, ngf] feature map never materializes
-                # (its only consumer is this head).  Module creation order
-                # matches the plain path, so the param tree is identical.
+            if last and (use_fused_tail(self.fused_tail, train)
+                         or use_glu_rgb_head(train)):
+                # Final stage, eval: fold the RGB head into the stage tail
+                # (fused reschain kernel or the GLU-fused RGB kernel) — the
+                # [B, 2H, 2W, ngf] feature map never materializes (its only
+                # consumer is this head).  Module creation order matches
+                # the plain path, so the param tree is identical.
                 head = GetImageG(self.dtype)
                 rgb_k = head(h_code, fold=True)
                 rgb, attn = stage(h_code, word_embs, pad_mask, train,

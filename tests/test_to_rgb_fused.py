@@ -156,3 +156,33 @@ def test_to_rgb_glu_grads_match_naive(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_n),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gnet_glu_rgb_flag_equivalence(rng, monkeypatch):
+    """T2IGAN_RGB_KERNEL=glu reroutes the final eval stage through the
+    folded RGB kernel + pre-GLU tail; same param tree, same output (CPU
+    takes the jnp branch of the platform dispatch)."""
+    from t2igan.models.generator import GNet
+
+    model = GNet(gf_dim=64, nef=512, condition_dim=128,
+                 branch_num=2, num_residual=1)
+    b, L = 1, 5
+    z = jnp.asarray(rng.standard_normal((b, 100)).astype(np.float32))
+    sent = jnp.asarray(rng.standard_normal((b, 512)).astype(np.float32))
+    words = jnp.asarray(rng.standard_normal((b, L, 512)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((b, 128)).astype(np.float32))
+    pad = jnp.zeros((b, L), bool)
+
+    monkeypatch.setenv("T2IGAN_RGB_KERNEL", "0")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+        z, sent, words, pad, False, eps)
+    ref_imgs, _, _, _ = model.apply(variables, z, sent, words, pad, False,
+                                    eps, False)
+    monkeypatch.setenv("T2IGAN_RGB_KERNEL", "glu")
+    got_imgs, _, _, _ = model.apply(variables, z, sent, words, pad, False,
+                                    eps, False)
+    assert len(got_imgs) == len(ref_imgs)
+    np.testing.assert_allclose(np.asarray(got_imgs[-1]),
+                               np.asarray(ref_imgs[-1]),
+                               rtol=1e-5, atol=1e-5)
