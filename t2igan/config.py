@@ -109,6 +109,12 @@ class Config:
     CUDA: bool = True  # accepted for YAML parity; ignored on TPU
     WORKERS: int = 6
     B_VALIDATION: bool = False
+    # Input-pipeline engine: "auto" uses the native C++ async executor
+    # (t2igan/native/image_exec.cc: decode + transform thread pool with a
+    # prefetch ring) when it is buildable and the dataset reads image files,
+    # falling back to the Python thread-pool loader; "thread" forces the
+    # Python path; "native" requires the executor (raises if unavailable).
+    DATA_ENGINE: str = "auto"
 
     TREE: TreeConfig = field(default_factory=TreeConfig)
     TRAIN: TrainConfig = field(default_factory=TrainConfig)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 import pickle
 from dataclasses import dataclass
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -39,6 +39,25 @@ class Record:
     """One sample: a decoded multi-scale image pyramid + two captions."""
 
     images: List[np.ndarray]        # per-branch [s, s, 3] float32, normalized
+    caption: str
+    caption_2: str
+    class_id: int
+    key: str
+
+
+@dataclass
+class ExecPlan:
+    """Plan for one sample of the native async executor
+    (t2igan/native/image_exec.cc): everything but the pixels.  The executor
+    derives the crop window from the fractions (``x0 = floor(u * (nw - crop
+    + 1))``) after it knows the decoded/bbox-cropped dimensions, so the
+    dataset rng never needs the image on the Python side."""
+
+    path: str
+    bbox: Optional[List[int]]       # CUB [x, y, w, h] or None
+    u: float                        # crop fractions in [0, 1)
+    v: float
+    flip: bool
     caption: str
     caption_2: str
     class_id: int
@@ -218,6 +237,40 @@ class TextImageDataset:
                       caption_2=self._random_caption(index),
                       class_id=int(self.class_id[index]),
                       key=key)
+
+    def plan_record(self, index: int) -> ExecPlan:
+        """Sample plan for the native async executor — consumes the dataset
+        rng in a fixed order (crop u, crop v, flip, two caption draws) but
+        never decodes pixels on the Python side.  The augmentation stream
+        differs from ``__getitem__``'s (fractions vs integer draws) but is
+        equally seeded-reproducible; distributionally the transforms match
+        (datasets.py:86-115 semantics either way)."""
+        key = self.filenames[index]
+        u = float(self.rng.random())
+        v = float(self.rng.random())
+        flip = bool(self.rng.random() < 0.5)
+        bbox = None
+        if self.bbox is not None:
+            bbox = [int(x) for x in self.bbox[key]]
+        return ExecPlan(path=self.image_path(key), bbox=bbox, u=u, v=v,
+                        flip=flip,
+                        caption=self._random_caption(index),
+                        caption_2=self._random_caption(index),
+                        class_id=int(self.class_id[index]), key=key)
+
+    def exec_fallback(self, plan: ExecPlan) -> List[np.ndarray]:
+        """PIL decode + transform for a sample the native executor could not
+        handle (exotic format, e.g. CMYK JPEG) — same plan, same output."""
+        from PIL import Image
+
+        img = Image.open(plan.path).convert("RGB")
+        if plan.bbox is not None:
+            img = crop_to_bbox(img, plan.bbox)
+        nw, nh = self.transform.scaled_dims(*img.size)
+        crop = self.transform.imsize
+        x0 = min(max(0, nw - crop), int(plan.u * (max(0, nw - crop) + 1)))
+        y0 = min(max(0, nh - crop), int(plan.v * (max(0, nh - crop) + 1)))
+        return self._pyramid(img, plan=(nw, nh, x0, y0, plan.flip))
 
     def deterministic_record(self, index: int) -> Record:
         """RNG-free sample for probe/snapshot batches: fixed caption choice

@@ -91,12 +91,20 @@ class DataLoader:
                  words_num: int, shuffle: bool = True, drop_last: bool = True,
                  num_workers: int = 2, prefetch: int = 2, seed: int = 0,
                  host_index: Optional[int] = None,
-                 host_count: Optional[int] = None):
+                 host_count: Optional[int] = None,
+                 engine: str = "auto"):
         """``host_index``/``host_count`` shard the dataset across hosts for
         multi-host training (each host feeds its local devices its slice of
         the global batch); default to the jax process topology.  Shuffles
         use the same seed on every host, so the global epoch order is a
-        consistent permutation."""
+        consistent permutation.
+
+        ``engine`` selects the batch-production backend: ``"thread"`` is the
+        Python thread pool above; ``"native"`` requires the C++ async
+        executor (native file read + JPEG/PNG decode + transform off the
+        Python thread, t2igan/native/image_exec.cc); ``"auto"`` uses the
+        executor when it is buildable AND the dataset exposes sample plans
+        (``plan_record``), else falls back to threads."""
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.batch_size = batch_size
@@ -107,6 +115,9 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        if engine not in ("auto", "thread", "native"):
+            raise ValueError(f"unknown loader engine {engine!r}")
+        self.engine = engine
         if host_index is None or host_count is None:
             try:
                 import jax
@@ -161,6 +172,89 @@ class DataLoader:
         records = [fetch(i) for i in range(n)]
         return collate(records, self.tokenizer, self.words_num)
 
+    def _native_usable(self) -> bool:
+        if self.engine == "thread":
+            return False
+        if not hasattr(self.dataset, "plan_record"):
+            if self.engine == "native":
+                raise RuntimeError(
+                    "engine='native' needs a dataset with plan_record() "
+                    f"(got {type(self.dataset).__name__})")
+            return False
+        from t2igan import native
+
+        ok = native.exec_available()
+        if not ok and self.engine == "native":
+            raise RuntimeError("engine='native': the C++ executor library "
+                               "could not be built (needs g++ + libjpeg/"
+                               "libpng)")
+        return ok
+
+    def _iter_native(self, batches) -> Iterator[Batch]:
+        """Batch production through the C++ async executor: submit plans for
+        ``prefetch + 1`` batches ahead, block only on the oldest, rebuild
+        failed samples (exotic formats) through the PIL fallback."""
+        from t2igan import native
+
+        ds = self.dataset
+        sizes = list(ds.sizes)
+        ex = native.AsyncExecutor(
+            branch_sizes=sizes, scale_size=ds.transform.scale,
+            crop=ds.transform.imsize, max_batch=self.batch_size,
+            n_threads=self.num_workers, n_slots=self.prefetch + 1)
+        try:
+            pending = {}
+            it = iter(batches)
+            next_id = 0
+
+            def submit_one():
+                nonlocal next_id
+                idxs = next(it)  # raises StopIteration when drained
+                plans = [ds.plan_record(int(i)) for i in idxs]
+                uv = np.asarray([[p.u, p.v] for p in plans], np.float32)
+                ex.submit(next_id, [p.path for p in plans],
+                          [p.bbox for p in plans], uv,
+                          [p.flip for p in plans])
+                # tokenize at submit time so the host BPE overlaps the
+                # native decode instead of sitting on the wait path
+                caps1 = self.tokenizer([p.caption for p in plans],
+                                       max_length=self.words_num)
+                caps2 = self.tokenizer([p.caption_2 for p in plans],
+                                       max_length=self.words_num)
+                pending[next_id] = (plans, caps1, caps2)
+                next_id += 1
+
+            for _ in range(self.prefetch + 1):
+                try:
+                    submit_one()
+                except StopIteration:
+                    break
+            while pending:
+                bid, branches, errs = ex.wait()
+                plans, caps1, caps2 = pending.pop(bid)
+                images = [np.array(b) for b in branches]  # copy out of slot
+                ex.release(bid)
+                try:
+                    submit_one()
+                except StopIteration:
+                    pass
+                for i in np.nonzero(errs)[0]:
+                    fb = ds.exec_fallback(plans[int(i)])
+                    for b in range(len(images)):
+                        images[b][int(i)] = fb[b]
+                yield Batch(
+                    images=images,
+                    input_ids=caps1["input_ids"],
+                    attention_mask=caps1["attention_mask"],
+                    input_ids_2=caps2["input_ids"],
+                    attention_mask_2=caps2["attention_mask"],
+                    class_ids=np.asarray([p.class_id for p in plans],
+                                         np.int32),
+                    keys=[p.key for p in plans],
+                )
+        finally:
+            ex.close()
+
     def __iter__(self) -> Iterator[Batch]:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -168,6 +262,8 @@ class DataLoader:
         batches = list(self._index_batches())
         if not batches:
             return iter(())
+        if self._native_usable():
+            return self._iter_native(batches)
 
         def make(batch_idx):
             records = [self.dataset[int(i)] for i in batch_idx]

@@ -117,7 +117,31 @@ def list_images(path: str) -> List[str]:
     return out
 
 
-def image_batches(files: List[str], batch_size: int, size: int = 299):
+def _decode_for_fid(path: str, size: int) -> np.ndarray:
+    """One file -> [0,1] float HWC at `size` (fid_score.py ImagePathDataset
+    + ToTensor + the model's internal resize).  Uses the native
+    libjpeg/libpng decoder when built (same codecs PIL wraps — identical
+    pixels), PIL otherwise."""
+    from t2igan import native
+    from t2igan.ops.image import resize_bilinear_torch_np
+
+    arr = None
+    if native.exec_available():
+        try:
+            arr = native.decode_image(path).astype(np.float32) / 255.0
+        except ValueError:
+            arr = None  # exotic format: PIL below
+    if arr is None:
+        from PIL import Image
+
+        arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    if arr.shape[:2] != (size, size):
+        arr = resize_bilinear_torch_np(arr, size, size)
+    return arr
+
+
+def image_batches(files: List[str], batch_size: int, size: int = 299,
+                  num_workers: int = 6):
     """Decode to [0,1] float NHWC batches (fid_score.py ImagePathDataset +
     ToTensor).
 
@@ -128,21 +152,30 @@ def image_batches(files: List[str], batch_size: int, size: int = 299):
     from native resolution, identical arithmetic — so arbitrary native
     sizes batch into one static device shape (XLA needs static shapes; the
     reference itself crashes on mixed-size dirs with batch>1).  The device
-    :func:`preprocess` resize is then an exact identity."""
-    from PIL import Image
+    :func:`preprocess` resize is then an exact identity.
 
-    from t2igan.ops.image import resize_bilinear_torch_np
+    Decode runs on a host thread pool (native codec releases the GIL) with
+    the next chunk prefetched while the current one is consumed on device —
+    the 30k-image eval sweep is host-decode-bound otherwise."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    for s in range(0, len(files), batch_size):
-        chunk = files[s:s + batch_size]
-        imgs = []
-        for f in chunk:
-            im = Image.open(f).convert("RGB")
-            arr = np.asarray(im, np.float32) / 255.0
-            if arr.shape[:2] != (size, size):
-                arr = resize_bilinear_torch_np(arr, size, size)
-            imgs.append(arr)
-        yield np.stack(imgs)
+    chunks = [files[s:s + batch_size]
+              for s in range(0, len(files), batch_size)]
+    # Two pools so the prefetch task can never starve its own decode
+    # workers (a nested submit into one pool deadlocks at num_workers=1).
+    with ThreadPoolExecutor(max(1, num_workers)) as pool, \
+            ThreadPoolExecutor(1) as ahead:
+
+        def make(chunk):
+            return np.stack(
+                list(pool.map(lambda f: _decode_for_fid(f, size), chunk)))
+
+        pending = None
+        for i, chunk in enumerate(chunks):
+            batch = make(chunk) if pending is None else pending.result()
+            pending = (ahead.submit(make, chunks[i + 1])
+                       if i + 1 < len(chunks) else None)
+            yield batch
 
 
 def statistics_of_path(path: str, activation_fn, batch_size: int = 50):

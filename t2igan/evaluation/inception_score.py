@@ -22,31 +22,52 @@ from t2igan.models.inception import InceptionV3
 from t2igan.ops.image import resize_bilinear_torch
 
 
-def scale32_batches(files: List[str], batch_size: int, size: int = 32):
+def _scale32_one(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.open(path).convert("RGB")
+    w, h = im.size
+    if w <= h:
+        out = (size, max(1, round(h * size / w)))
+    else:
+        out = (max(1, round(w * size / h)), size)
+    im = im.resize(out, Image.BILINEAR)
+    return np.asarray(im, np.float32) / 255.0
+
+
+def scale32_batches(files: List[str], batch_size: int, size: int = 32,
+                    num_workers: int = 6):
     """Host half of the reference IS transform chain
     (inception_score.py:62-66): PIL decode at native resolution ->
     ``transforms.Scale(32)`` (shorter side to 32, PIL BILINEAR — the same
     library call, so bit-identical) -> [0,1] float.  The reference only
-    ever feeds square generated images, so batches are (32, 32)."""
-    from PIL import Image
+    ever feeds square generated images, so batches are (32, 32).
 
-    for s in range(0, len(files), batch_size):
-        imgs = []
-        for f in files[s:s + batch_size]:
-            im = Image.open(f).convert("RGB")
-            w, h = im.size
-            if w <= h:
-                out = (size, max(1, round(h * size / w)))
-            else:
-                out = (max(1, round(w * size / h)), size)
-            im = im.resize(out, Image.BILINEAR)
-            imgs.append(np.asarray(im, np.float32) / 255.0)
-        shapes = {a.shape for a in imgs}
-        if len(shapes) > 1:
-            raise ValueError(
-                f"mixed post-Scale(32) shapes {shapes}: the IS protocol "
-                "expects uniformly-sized (square) generated images")
-        yield np.stack(imgs)
+    Decode+resize run on a host thread pool with the next chunk prefetched
+    while the device consumes the current one (same pattern as
+    ``fid.image_batches``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [files[s:s + batch_size]
+              for s in range(0, len(files), batch_size)]
+    with ThreadPoolExecutor(max(1, num_workers)) as pool, \
+            ThreadPoolExecutor(1) as ahead:
+
+        def make(chunk):
+            imgs = list(pool.map(lambda f: _scale32_one(f, size), chunk))
+            shapes = {a.shape for a in imgs}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"mixed post-Scale(32) shapes {shapes}: the IS protocol "
+                    "expects uniformly-sized (square) generated images")
+            return np.stack(imgs)
+
+        pending = None
+        for i, chunk in enumerate(chunks):
+            batch = make(chunk) if pending is None else pending.result()
+            pending = (ahead.submit(make, chunks[i + 1])
+                       if i + 1 < len(chunks) else None)
+            yield batch
 
 
 def make_pred_fn(variables):

@@ -91,10 +91,12 @@ class DamsmTrainer:
         self.val_ds = make_dataset(cfg, "val")
         self.train_loader = DataLoader(
             self.train_ds, self.tokenizer, cfg.TRAIN.BATCH_SIZE,
-            words_num, shuffle=True, num_workers=max(1, cfg.WORKERS))
+            words_num, shuffle=True, num_workers=max(1, cfg.WORKERS),
+            engine=cfg.DATA_ENGINE)
         self.val_loader = DataLoader(
             self.val_ds, self.tokenizer, cfg.TRAIN.BATCH_SIZE,
-            words_num, shuffle=True, num_workers=max(1, cfg.WORKERS))
+            words_num, shuffle=True, num_workers=max(1, cfg.WORKERS),
+            engine=cfg.DATA_ENGINE)
 
         self.clip_model, clip_vars = build_clip(cfg, clip_cfg, dtype=dtype)
         self.tx = damsm_optimizer(cfg, steps_per_epoch=len(self.train_loader))

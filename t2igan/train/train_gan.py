@@ -54,7 +54,7 @@ class CondGanTrainer:
         self.loader = DataLoader(
             self.dataset, self.tokenizer, cfg.TRAIN.BATCH_SIZE,
             cfg.TEXT.WORDS_NUM, shuffle=cfg.TRAIN.FLAG,
-            num_workers=max(1, cfg.WORKERS))
+            num_workers=max(1, cfg.WORKERS), engine=cfg.DATA_ENGINE)
 
         self.clip_model, clip_vars = build_clip(cfg, clip_cfg, dtype=dtype)
         self.clip_params = clip_vars["params"]
