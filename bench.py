@@ -126,98 +126,15 @@ def _supervise() -> int:
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeated bench invocations reuse
     compiled programs instead of paying the multi-minute remote compile."""
-    import jax
+    from t2igan.utils.cache import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    enable_compile_cache(CACHE_DIR)
 
 
-def _host_fingerprint() -> str:
-    """Stable fingerprint of this host's CPU ISA feature set."""
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(flags.encode()).hexdigest()[:16]
-    except OSError:
-        pass
-    import platform
-
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:16]
-
-
-# Classifier markers: XLA:CPU AOT cache entries embed the compile machine's
-# LLVM x86 feature string (the same one cpu_aot_loader.cc prints on
-# mismatch); TPU executables never carry LLVM x86 feature syntax.
-_CPU_AOT_MARKERS = (b"prefer-no-scatter", b"+sse2", b"+64bit")
-
-
-def _entry_is_cpu_aot(path: str) -> bool:
-    """True iff the (zstd-framed, jax default) cache entry embeds an LLVM
-    x86 feature string — i.e. it is a host-specific XLA:CPU AOT result."""
-    tail = b""
-    overlap = max(len(m) for m in _CPU_AOT_MARKERS) - 1
-    try:
-        import zstandard as zstd
-
-        with open(path, "rb") as f, \
-                zstd.ZstdDecompressor().stream_reader(f) as r:
-            while True:
-                out = r.read(1 << 20)
-                if not out:
-                    break
-                buf = tail + out
-                if any(m in buf for m in _CPU_AOT_MARKERS):
-                    return True
-                tail = buf[-overlap:]
-    except Exception:
-        return False  # unreadable/other framing — assume portable, keep it
-    return False
-
-
-def validate_cache(cache_dir: str = CACHE_DIR) -> int:
-    """Purge XLA:CPU AOT cache entries compiled on a different host.
-
-    The persistent cache survives across rounds while the executing host
-    changes; stale CPU AOT executables are loaded despite machine-feature
-    mismatches ("could lead to execution errors such as SIGILL",
-    cpu_aot_loader.cc) — seen in BENCH_r02's tail.  TPU/axon entries are
-    host-independent and must be KEPT (they hold the multi-minute remote
-    compiles).  A HOST.json marker makes the scan a no-op on the same host.
-    Returns the number of purged entries."""
-    if not os.path.isdir(cache_dir):
-        return 0
-    marker = os.path.join(cache_dir, "HOST.json")
-    fp = _host_fingerprint()
-    try:
-        with open(marker) as f:
-            if json.load(f).get("fingerprint") == fp:
-                return 0
-    except (OSError, ValueError):
-        pass
-    purged = 0
-    for name in os.listdir(cache_dir):
-        if not name.endswith("-cache"):
-            continue
-        path = os.path.join(cache_dir, name)
-        if _entry_is_cpu_aot(path):
-            try:
-                os.unlink(path)
-                purged += 1
-            except OSError:
-                pass
-    with open(marker, "w") as f:
-        json.dump({"fingerprint": fp}, f)
-    if purged:
-        print(f"bench: purged {purged} stale XLA:CPU AOT cache entries "
-              f"(host fingerprint changed)", flush=True)
-    return purged
+# Cache validation lives in t2igan/utils/cache.py (shared with the root
+# CLIs and the multichip dryrun); re-exported here for bench callers/tests.
+from t2igan.utils.cache import (_entry_is_cpu_aot, _host_fingerprint,
+                                validate_cache)
 
 
 def _enable_cpu_fallback():

@@ -50,6 +50,8 @@ def load_inception_variables(ckpt_path):
 
 def main():
     args = parse_args()
+    from t2igan.utils.cache import enable_compile_cache
+    enable_compile_cache()
     if args.path:
         paths = args.path
     elif args.data == "bird":

@@ -28,6 +28,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from t2igan.utils.cache import enable_compile_cache
+    enable_compile_cache()
     path = args.path
     if path is None:
         if args.data == "bird":

@@ -51,6 +51,8 @@ def load_example_captions(data_dir):
 def main():
     args = parse_args()
     cfg = cfg_from_file(args.cfg_file)
+    from t2igan.utils.cache import enable_compile_cache
+    enable_compile_cache()
     if args.NET_G:
         cfg = cfg_replace(cfg, TRAIN={"NET_G": args.NET_G})
     if args.data_dir:

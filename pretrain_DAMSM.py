@@ -34,6 +34,8 @@ def parse_args():
 def main():
     args = parse_args()
     cfg = cfg_from_file(args.cfg_file)
+    from t2igan.utils.cache import enable_compile_cache
+    enable_compile_cache()
     if args.data_dir:
         from t2igan.config import cfg_replace
         cfg = cfg_replace(cfg, DATA_DIR=args.data_dir)

@@ -118,6 +118,7 @@ class DataLoader:
         if engine not in ("auto", "thread", "native"):
             raise ValueError(f"unknown loader engine {engine!r}")
         self.engine = engine
+        self._exec = None  # cached AsyncExecutor, reused across epochs
         if host_index is None or host_count is None:
             try:
                 import jax
@@ -190,18 +191,31 @@ class DataLoader:
                                "libpng)")
         return ok
 
+    def _get_exec(self):
+        """The slot buffers are large (3 pyramid branches x batch x slots),
+        so one executor is created lazily and reused across epochs."""
+        from t2igan import native
+
+        if self._exec is None:
+            ds = self.dataset
+            self._exec = native.AsyncExecutor(
+                branch_sizes=list(ds.sizes), scale_size=ds.transform.scale,
+                crop=ds.transform.imsize, max_batch=self.batch_size,
+                n_threads=self.num_workers, n_slots=self.prefetch + 1)
+        return self._exec
+
+    def close(self):
+        """Release the cached native executor (threads + slot buffers)."""
+        if self._exec is not None:
+            self._exec.close()
+            self._exec = None
+
     def _iter_native(self, batches) -> Iterator[Batch]:
         """Batch production through the C++ async executor: submit plans for
         ``prefetch + 1`` batches ahead, block only on the oldest, rebuild
         failed samples (exotic formats) through the PIL fallback."""
-        from t2igan import native
-
         ds = self.dataset
-        sizes = list(ds.sizes)
-        ex = native.AsyncExecutor(
-            branch_sizes=sizes, scale_size=ds.transform.scale,
-            crop=ds.transform.imsize, max_batch=self.batch_size,
-            n_threads=self.num_workers, n_slots=self.prefetch + 1)
+        ex = self._get_exec()
         try:
             pending = {}
             it = iter(batches)
@@ -253,7 +267,12 @@ class DataLoader:
                     keys=[p.key for p in plans],
                 )
         finally:
-            ex.close()
+            # Drain anything still in flight (e.g. the consumer broke out
+            # mid-epoch) so the reused executor starts the next epoch clean.
+            while pending:
+                bid, _, _ = ex.wait()
+                pending.pop(bid, None)
+                ex.release(bid)
 
     def __iter__(self) -> Iterator[Batch]:
         from concurrent.futures import ThreadPoolExecutor

@@ -24,7 +24,7 @@ from t2igan.models.clip import ClipWithRegionHead
 Array = jnp.ndarray
 
 
-def make_rank_fn(clip_model: ClipWithRegionHead, clip_variables):
+def make_rank_fn(clip_model: ClipWithRegionHead, clip_variables, mesh=None):
     """Jitted: (images01 [B,S,S,3] in [-1,1] generator output resized to the
     CLIP input size, true ids/mask [B,W], mis ids/mask [B,99,W]) -> [B] bool
     hit flags.
@@ -55,7 +55,19 @@ def make_rank_fn(clip_model: ClipWithRegionHead, clip_variables):
         scores = jnp.einsum("bd,bnd->bn", img_n, cand_n)
         return jnp.argmax(scores, axis=-1) == 0
 
-    jitted = jax.jit(run)
+    if mesh is None:
+        jitted = jax.jit(run)
+    else:
+        # Data-parallel ranking: CLIP weights replicated, every batch-leading
+        # operand sharded over the mesh (reference analogue: the CLIP towers
+        # are also DataParallel-wrapped in the eval sweep, trainer.py:255-265).
+        from t2igan.parallel.mesh import batch_sharded, replicated
+
+        rep, shard = replicated(mesh), batch_sharded(mesh)
+        jitted = jax.jit(run,
+                         in_shardings=(rep, shard, shard, shard, shard,
+                                       shard),
+                         out_shardings=shard)
 
     def bound(images, ids_true, mask_true, ids_mis, mask_mis):
         return jitted(clip_variables, images, ids_true, mask_true,

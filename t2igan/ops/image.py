@@ -181,9 +181,16 @@ def resize_bilinear_torch_np(img, out_h: int, out_w: int):
     import numpy as np
 
     h, w = img.shape[:2]
+    c = img.shape[2]
     mh = _linear_resize_matrix(h, out_h)
     mw = _linear_resize_matrix(w, out_w)
-    return np.einsum("oh,hwc,pw->opc", mh, img.astype(np.float32), mw)
+    # Two sequential matmuls, NOT one three-operand einsum: without a forced
+    # contraction order numpy may lower "oh,hwc,pw->opc" as the naive
+    # five-index loop — O(out_h*h*w*c*out_w), ~70 s for one 256->299 image.
+    tmp = (mh @ img.astype(np.float32).reshape(h, w * c)).reshape(
+        out_h, w, c)                                     # rows:   [O, w, c]
+    out = mw @ tmp.transpose(1, 0, 2).reshape(w, out_h * c)  # cols
+    return out.reshape(out_w, out_h, c).transpose(1, 0, 2)
 
 
 def clip_normalize(x01: jnp.ndarray) -> jnp.ndarray:

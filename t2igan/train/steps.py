@@ -298,14 +298,19 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
 
 
 def make_sampler(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
-                 return_attn: bool = False):
+                 return_attn: bool = False, mesh=None):
     """Jittable text -> image pyramid inference (the core of ``sampling()``,
     trainer.py:545-556): CLIP text encode then generator forward in eval
     mode (running BN statistics, fixed CA noise).
 
     ``return_attn=False`` (the throughput path) routes the memory read
     through the fused Pallas kernel and skips materializing attention maps;
-    visualization callers pass True."""
+    visualization callers pass True.
+
+    With ``mesh`` the sampler runs data-parallel: parameters replicated,
+    the batch dimension sharded over the mesh's ``data`` axis — the
+    TPU-native form of the reference wrapping netG/CLIP in
+    ``nn.DataParallel`` for its eval sweep (trainer.py:255-265)."""
 
     def sample(clip_params, g_params, g_bstats, ids, mask, z, eps):
         words, sent = clip_model.apply(
@@ -317,4 +322,11 @@ def make_sampler(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
             return_attn)
         return fakes, atts
 
-    return jax.jit(sample)
+    if mesh is None:
+        return jax.jit(sample)
+    from t2igan.parallel.mesh import batch_sharded, replicated
+
+    rep, shard = replicated(mesh), batch_sharded(mesh)
+    return jax.jit(sample,
+                   in_shardings=(rep, rep, rep, shard, shard, shard, shard),
+                   out_shardings=shard)

@@ -217,15 +217,28 @@ class CondGanTrainer:
 
     def sampling(self, split_dir: str = "valid", num_rounds: int = 11,
                  r_target: int = 30000, save_images: bool = True,
-                 use_ema: bool = True, n_mis: int = 99):
+                 use_ema: bool = True, n_mis: int = 99,
+                 data_parallel: bool = True):
         cfg = self.cfg
         save_dir = os.path.join(self.output_dir, split_dir, "single")
         if save_images:
             os.makedirs(save_dir, exist_ok=True)
         g_params = (self.state.g_ema_params if use_ema
                     else self.state.g_params)
-        rank_fn = make_rank_fn(self.clip_model,
-                               {"params": self.clip_params})
+        # Data-parallel eval sweep over all local devices (the reference
+        # DataParallel-wraps netG and the CLIP towers for sampling too,
+        # trainer.py:255-265): replicate params, shard the batch.  A batch
+        # not divisible by the device count shrinks the mesh (static shapes).
+        sampler = self.sampler
+        mesh = self.mesh
+        if data_parallel and mesh.devices.size > 1:
+            sampler = make_sampler(cfg, self.clip_model, self.gen_model,
+                                   mesh=mesh)
+            rank_fn = make_rank_fn(self.clip_model,
+                                   {"params": self.clip_params}, mesh=mesh)
+        else:
+            rank_fn = make_rank_fn(self.clip_model,
+                                   {"params": self.clip_params})
         clip_size = self.clip_model.cfg.image_size
         words_eval = 77 if self.clip_model.cfg.max_positions >= 77 \
             else self.clip_model.cfg.max_positions
@@ -239,7 +252,7 @@ class CondGanTrainer:
                 rng, rz, re = jax.random.split(rng, 3)
                 z = jax.random.normal(rz, (b, cfg.GAN.Z_DIM))
                 eps = jax.random.normal(re, (b, cfg.GAN.CONDITION_DIM))
-                fakes, _ = self.sampler(
+                fakes, _ = sampler(
                     self.clip_params, g_params, self.state.g_batch_stats,
                     jnp.asarray(batch.input_ids),
                     jnp.asarray(batch.attention_mask), z, eps)

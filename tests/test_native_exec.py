@@ -274,6 +274,72 @@ def test_loader_auto_falls_back_without_plans():
         list(strict)
 
 
+def test_loader_native_reuses_executor_across_epochs(disk_dataset):
+    """The executor (threads + slot buffers) is created once and drained —
+    not destroyed — between epochs, including when the consumer abandons an
+    epoch mid-way."""
+    tok = ClipTokenizer.fallback()
+    loader = DataLoader(disk_dataset, tok, batch_size=2, words_num=16,
+                        num_workers=2, engine="native")
+    it = iter(loader)
+    next(it)  # leave two batches in flight, then abandon the epoch
+    it.close()
+    ex1 = loader._exec
+    assert ex1 is not None and ex1.inflight() == 0
+    assert len(list(loader)) == 3  # full second epoch on the same executor
+    assert loader._exec is ex1
+    loader.close()
+    assert loader._exec is None
+
+
+@pytest.mark.slow
+def test_exec_stress_many_batches(img_dir):
+    """Hammer the ring: hundreds of mixed-size batches with interleaved
+    waits/releases and intentional failures — FIFO order and per-sample
+    errors must hold throughout (this is the race-condition canary for the
+    C++ executor)."""
+    rng = np.random.default_rng(0)
+    paths = [str(img_dir / n) for n in ("a.jpg", "big.jpg", "gray.jpg")]
+    ex = _executor(batch=8, slots=3, threads=4)
+    try:
+        plans = {}
+        next_id = 0
+        waited = []
+
+        def submit():
+            nonlocal next_id
+            n = int(rng.integers(1, 9))
+            ps, bad = [], []
+            for i in range(n):
+                if rng.random() < 0.1:
+                    ps.append(str(img_dir / "missing.jpg"))
+                    bad.append(i)
+                else:
+                    ps.append(paths[int(rng.integers(0, len(paths)))])
+            ex.submit(next_id, ps, None,
+                      rng.random((n, 2)).astype(np.float32),
+                      list(rng.random(n) < 0.5))
+            plans[next_id] = (n, bad)
+            next_id += 1
+
+        for _ in range(3):
+            submit()
+        for _ in range(200):
+            bid, branches, errs = ex.wait()
+            n, bad = plans.pop(bid)
+            waited.append(bid)
+            assert branches[0].shape[0] == n
+            assert sorted(np.nonzero(errs)[0].tolist()) == bad
+            ok = [i for i in range(n) if i not in bad]
+            if ok:
+                assert np.abs(branches[-1][ok]).max() > 0
+            ex.release(bid)
+            submit()
+        assert waited == sorted(waited)  # strict FIFO
+    finally:
+        ex.close()
+
+
 def test_loader_rejects_unknown_engine():
     ds = SyntheticDataset(CFG, size=4)
     with pytest.raises(ValueError, match="engine"):

@@ -165,6 +165,52 @@ def test_gan_step_data_parallel(gan_setup):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_sampler_data_parallel_matches_single(gan_setup):
+    """The eval-sweep sampler under a Mesh('data') (sampling()'s DP path,
+    reference analogue: DataParallel-wrapped netG/CLIP at eval,
+    trainer.py:255-265) must reproduce the single-device pyramid."""
+    from t2igan.train.steps import make_sampler
+
+    clip_model, clip_vars, gen, _, state, _ = gan_setup
+    mesh = make_mesh()
+    single = make_sampler(CFG, clip_model, gen)
+    sharded = make_sampler(CFG, clip_model, gen, mesh=mesh)
+    rng = np.random.default_rng(5)
+    ids, mask = _caption_batch(rng, 8, 16)
+    z = rng.standard_normal((8, CFG.GAN.Z_DIM)).astype(np.float32)
+    eps = rng.standard_normal((8, CFG.GAN.CONDITION_DIM)).astype(np.float32)
+    args = (clip_vars["params"], state.g_params, state.g_batch_stats,
+            jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(z),
+            jnp.asarray(eps))
+    fakes_s, _ = single(*args)
+    fakes_m, _ = sharded(*args)
+    assert len(fakes_m) == CFG.TREE.BRANCH_NUM
+    for a, b in zip(fakes_s, fakes_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_rank_fn_data_parallel_matches_single(clip_setup):
+    """R-precision ranking under the data mesh equals the single-device
+    ranking bit-for-bit in hit flags."""
+    from t2igan.evaluation.rprecision import make_rank_fn
+
+    clip_model, clip_vars = clip_setup
+    mesh = make_mesh()
+    single = make_rank_fn(clip_model, clip_vars)
+    sharded = make_rank_fn(clip_model, clip_vars, mesh=mesh)
+    rng = np.random.default_rng(7)
+    b, n_mis, w = 8, 5, 16
+    images = rng.standard_normal((b, 32, 32, 3)).astype(np.float32) * 0.3
+    ids, mask = _caption_batch(rng, b, w)
+    ids_mis = np.stack([_caption_batch(rng, n_mis, w)[0] for _ in range(b)])
+    mask_mis = np.ones_like(ids_mis)
+    args = (jnp.asarray(images), jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(ids_mis), jnp.asarray(mask_mis))
+    np.testing.assert_array_equal(np.asarray(single(*args)),
+                                  np.asarray(sharded(*args)))
+
+
 def test_gan_step_bf16_models(clip_setup):
     """Mixed-precision step: bf16 compute, f32 params — losses stay finite
     and parameters update."""

@@ -115,13 +115,31 @@ def main():
                "clip": args.clip_ckpt or "(random init)",
                "dry_run": bool(args.dry_run)}
 
+    import time as _time
+
+    def _phase(name, t0=[None]):
+        now = _time.perf_counter()
+        if t0[0] is not None:
+            print(f"[quality_parity] ...done in {now - t0[0]:.1f}s",
+                  flush=True)
+        t0[0] = now
+        if name:
+            print(f"[quality_parity] {name}", flush=True)
+
     # ---- 1. generation sweep + R-precision (trainer.py:485-613) ----
     from t2igan.train.train_gan import CondGanTrainer
 
+    _phase("building models (init on host)")
     trainer = CondGanTrainer(cfg, output_dir, split="test", dtype=dtype)
     num_rounds = 1 if args.dry_run else 11
+    # dry_run: skip the data-parallel eval path — compiling the GSPMD-
+    # sharded full-size sampler on the virtual 8-CPU mesh costs many extra
+    # minutes for no coverage (DP-vs-single equivalence is pinned at model
+    # scale in test_train_steps.py).
+    _phase("generation sweep + R-precision (compiles sampler + rank_fn)")
     r_mean, r_std = trainer.sampling("valid", num_rounds=num_rounds,
-                                     r_target=args.r_target)
+                                     r_target=args.r_target,
+                                     data_parallel=not args.dry_run)
     results["r_precision_mean"] = r_mean
     results["r_precision_std"] = r_std
     gen_dir = os.path.join(output_dir, "valid", "single")
@@ -138,6 +156,7 @@ def main():
 
     from t2igan.evaluation.fid import (calculate_fid_given_paths,
                                        make_activation_fn)
+    _phase("FID")
     inc_vars = load_inception_variables(args.fid_inception_ckpt)
     act_fn = make_activation_fn(inc_vars, dims=2048)
     fid = calculate_fid_given_paths([gen_dir, real_dir], act_fn,
@@ -145,6 +164,7 @@ def main():
     results["fid"] = float(fid)
 
     # ---- 3. Inception Score (inception_score.py:35-103) ----
+    _phase("Inception Score")
     from t2igan.evaluation.inception_score import inception_score
     from t2igan.models.inception import (InceptionV3,
                                          convert_torch_inception_state)
@@ -163,6 +183,7 @@ def main():
     results["is_mean"] = float(is_mean)
     results["is_std"] = float(is_std)
 
+    _phase("")
     print(json.dumps(results, indent=2))
 
     # ---- 4. record in BASELINE.md ----
