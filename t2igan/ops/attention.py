@@ -16,6 +16,8 @@ TPU-first redesign of the reference attention stack
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -111,8 +113,14 @@ def memory_read(query_map: jnp.ndarray,
         entirely in VMEM (see ops/pallas/memory_read.py).
     """
     if not return_attn:
+        # A/B override: the fused custom call wins decisively in the train
+        # step (flash backward), but in the batch-minor eval graph its
+        # row-major boundary forces 2x537MB layout copies at 128^2
+        # (docs/PERFORMANCE.md round 3) — T2IGAN_MEMREAD=jnp measures the
+        # XLA path at the full-graph level.
+        variant = os.environ.get("T2IGAN_MEMREAD", "fused")
         backend = jax.default_backend()
-        if backend in ("tpu", "axon"):
+        if variant == "fused" and backend in ("tpu", "axon"):
             from t2igan.ops.pallas.memory_read import memory_read_fused
             return memory_read_fused(query_map, key, value, pad_mask), None
 
