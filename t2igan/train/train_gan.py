@@ -246,32 +246,37 @@ class CondGanTrainer:
         hits = []
         rng = jax.random.PRNGKey(100)  # eval seed pinned (main.py:115-116)
         self._build_miscaption_bank(words_eval)
-        for round_i in range(num_rounds):
-            for batch in self.loader:
-                b = batch.input_ids.shape[0]
-                rng, rz, re = jax.random.split(rng, 3)
-                z = jax.random.normal(rz, (b, cfg.GAN.Z_DIM))
-                eps = jax.random.normal(re, (b, cfg.GAN.CONDITION_DIM))
-                fakes, _ = sampler(
-                    self.clip_params, g_params, self.state.g_batch_stats,
-                    jnp.asarray(batch.input_ids),
-                    jnp.asarray(batch.attention_mask), z, eps)
-                finest = np.asarray(fakes[-1])
-                if save_images:
-                    self._save_singles(finest, batch.keys, save_dir, round_i)
-                # R-precision: 99 mis-captions per sample
-                mis_ids, mis_mask = self._mis_caption_batch(
-                    batch.class_ids, words_eval, n_mis=n_mis)
-                resized = resize_nearest(jnp.asarray(fakes[-1]), clip_size)
-                flags = rank_fn(resized,
-                                jnp.asarray(batch.input_ids),
-                                jnp.asarray(batch.attention_mask),
-                                mis_ids, mis_mask)
-                hits.extend(np.asarray(flags).tolist())
-                if len(hits) >= r_target:
-                    mean, std = bootstrap_r_precision(np.asarray(hits))
-                    print(f"R mean:{mean:.4f} std:{std:.4f}")
-                    return mean, std
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(4) as io_pool:  # PNG encode off the sweep
+            for round_i in range(num_rounds):
+                for batch in self.loader:
+                    b = batch.input_ids.shape[0]
+                    rng, rz, re = jax.random.split(rng, 3)
+                    z = jax.random.normal(rz, (b, cfg.GAN.Z_DIM))
+                    eps = jax.random.normal(re, (b, cfg.GAN.CONDITION_DIM))
+                    fakes, _ = sampler(
+                        self.clip_params, g_params, self.state.g_batch_stats,
+                        jnp.asarray(batch.input_ids),
+                        jnp.asarray(batch.attention_mask), z, eps)
+                    finest = np.asarray(fakes[-1])
+                    if save_images:
+                        self._save_singles(finest, batch.keys, save_dir,
+                                           round_i, io_pool)
+                    # R-precision: 99 mis-captions per sample
+                    mis_ids, mis_mask = self._mis_caption_batch(
+                        batch.class_ids, words_eval, n_mis=n_mis)
+                    resized = resize_nearest(jnp.asarray(fakes[-1]),
+                                             clip_size)
+                    flags = rank_fn(resized,
+                                    jnp.asarray(batch.input_ids),
+                                    jnp.asarray(batch.attention_mask),
+                                    mis_ids, mis_mask)
+                    hits.extend(np.asarray(flags).tolist())
+                    if len(hits) >= r_target:
+                        mean, std = bootstrap_r_precision(np.asarray(hits))
+                        print(f"R mean:{mean:.4f} std:{std:.4f}")
+                        return mean, std
         mean, std = bootstrap_r_precision(np.asarray(hits)) \
             if hits else (float("nan"), float("nan"))
         print(f"R mean:{mean:.4f} std:{std:.4f} (n={len(hits)})")
@@ -293,13 +298,24 @@ class CondGanTrainer:
         ids, mask = self._mis_bank.sample(class_ids, n_mis)
         return jnp.asarray(ids), jnp.asarray(mask)
 
-    def _save_singles(self, finest, keys, save_dir, round_i):
+    def _save_singles(self, finest, keys, save_dir, round_i, io_pool=None):
+        """Write per-sample PNGs (trainer.py:557-571).  With ``io_pool`` the
+        encodes run on IO threads off the sweep's critical path (~10 ms per
+        256^2 PNG x 30k images otherwise); the caller's pool shutdown joins
+        them before results are reported."""
         from PIL import Image
         u8 = ((finest + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
-        for j, key in enumerate(keys):
+
+        def write(j, key):
             path = os.path.join(save_dir, f"{key}_{round_i}.png")
             os.makedirs(os.path.dirname(path), exist_ok=True)
             Image.fromarray(u8[j]).save(path)
+
+        for j, key in enumerate(keys):
+            if io_pool is None:
+                write(j, key)
+            else:
+                io_pool.submit(write, j, key)
 
     # ------------------------------------------------------------------
     # custom-caption generation (trainer.py:619-704)
