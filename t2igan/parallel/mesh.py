@@ -68,3 +68,29 @@ def replicate(mesh: Mesh, tree):
     """Device-put every array in ``tree`` fully replicated."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def global_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Assemble each process's LOCAL batch slice into a GLOBAL jax.Array
+    sharded on the batch dimension.
+
+    The multi-host generalization of :func:`shard_batch`: on a single
+    process the two are identical (the host holds the whole batch and
+    ``device_put`` scatters it); across processes each host holds only its
+    ``DataLoader`` slice (``host_index``/``host_count``) and
+    ``jax.make_array_from_process_local_data`` stitches the slices into one
+    global array addressable by the jitted step — the global batch is
+    ``local_batch * process_count``.  The reference has no multi-host
+    story at all (single-process ``nn.DataParallel``, trainer.py:255-265);
+    this is the TPU-pod equivalent.
+
+    Host slice order matches device order: the loader hands host ``i`` the
+    ``i``-th contiguous slab of the epoch permutation, and ``jax.devices()``
+    orders devices by process index, so sample -> device placement is the
+    identity layout ``PartitionSpec(axis)`` expects.
+    """
+    sharding = batch_sharded(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), tree)

@@ -27,7 +27,8 @@ from t2igan.data.synthetic import SyntheticDataset
 from t2igan.data.tokenizer import ClipTokenizer
 from t2igan.models.clip import ClipConfig, ClipWithRegionHead
 from t2igan.ops.attention import word_region_attention
-from t2igan.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from t2igan.parallel.mesh import (global_batch, make_mesh_for_batch,
+                                  replicate)
 from t2igan.train.checkpoint import (CheckpointManager, GracefulShutdown,
                                      load_torch_clip)
 from t2igan.train.state import damsm_optimizer, init_damsm_state
@@ -122,7 +123,7 @@ class DamsmTrainer:
             "ids_2": batch.input_ids_2, "mask_2": batch.attention_mask_2,
             "class_ids": batch.class_ids,
         }
-        return shard_batch(self.mesh, arrays)
+        return global_batch(self.mesh, arrays)
 
     def train(self, max_epochs: Optional[int] = None):
         cfg = self.cfg

@@ -28,7 +28,8 @@ from t2igan.data.tokenizer import ClipTokenizer
 from t2igan.models.clip import ClipConfig
 from t2igan.models.factory import build_discriminators, build_generator
 from t2igan.ops.image import resize_nearest
-from t2igan.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from t2igan.parallel.mesh import (global_batch, make_mesh_for_batch,
+                                  replicate)
 from t2igan.train.checkpoint import CheckpointManager, GracefulShutdown
 from t2igan.train.pretrain_damsm import build_clip, make_dataset
 from t2igan.train.state import gan_optimizers, init_gan_state
@@ -148,7 +149,7 @@ class CondGanTrainer:
             "ids_2": batch.input_ids_2, "mask_2": batch.attention_mask_2,
             "class_ids": batch.class_ids,
         }
-        return shard_batch(self.mesh, arrays)
+        return global_batch(self.mesh, arrays)
 
     def train(self, max_epochs: Optional[int] = None):
         cfg = self.cfg

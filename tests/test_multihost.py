@@ -1,0 +1,180 @@
+"""Multi-host input pipeline tests.
+
+The reference's only distribution strategy is single-process
+``nn.DataParallel`` (trainer.py:255-265); the TPU-pod equivalent is: each
+host's ``DataLoader`` produces its contiguous slice of the global epoch
+permutation (``host_index``/``host_count``), and
+:func:`t2igan.parallel.mesh.global_batch` stitches the per-process local
+slices into one global batch-sharded ``jax.Array`` for the jitted step.
+
+A single test process always has ``jax.process_count() == 1``, so these
+tests validate the two halves separately:
+
+* the loader's host partitioning (disjoint, exhaustive, order-consistent —
+  concatenating the per-host streams in host order reproduces the
+  single-host epoch);
+* the global-array assembly semantics, by emulating H hosts on the virtual
+  8-device CPU mesh with ``jax.make_array_from_single_device_arrays``
+  (exactly what ``make_array_from_process_local_data`` lowers to, with the
+  per-host shard list restricted to addressable devices) and checking the
+  result is indistinguishable — buffer for buffer — from the single-host
+  ``shard_batch`` path, through a jitted DP reduction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from t2igan.config import Config, cfg_replace
+from t2igan.data.pipeline import DataLoader
+from t2igan.data.synthetic import SyntheticDataset
+from t2igan.data.tokenizer import ClipTokenizer
+from t2igan.parallel.mesh import (batch_sharded, global_batch, make_mesh,
+                                  shard_batch)
+
+CFG = cfg_replace(Config(), TRAIN={"BATCH_SIZE": 4},
+                  TREE={"BASE_SIZE": 16, "BRANCH_NUM": 2})
+
+
+def _host_loaders(n_hosts, *, size=32, batch_size=4, seed=11):
+    ds = SyntheticDataset(CFG, size=size)
+    tok = ClipTokenizer.fallback()
+    return [DataLoader(ds, tok, batch_size=batch_size, words_num=30,
+                       seed=seed, host_index=i, host_count=n_hosts)
+            for i in range(n_hosts)]
+
+
+def _epoch_keys(loader):
+    return [k for b in iter(loader) for k in b.keys]
+
+
+class TestLoaderHostPartition:
+    def test_disjoint_and_exhaustive(self):
+        loaders = _host_loaders(4)
+        per_host = [_epoch_keys(ld) for ld in loaders]
+        flat = [k for keys in per_host for k in keys]
+        assert len(flat) == 32 and len(set(flat)) == 32
+
+    def test_host_order_reproduces_global_epoch(self):
+        # Concatenating the per-host streams in host order must equal the
+        # single-host epoch: same seed => same permutation, host i takes
+        # the i-th contiguous slab.
+        loaders = _host_loaders(2)
+        single = _host_loaders(1)[0]
+        combined = _epoch_keys(loaders[0]) + _epoch_keys(loaders[1])
+        assert combined == _epoch_keys(single)
+
+    def test_len_is_per_host(self):
+        loaders = _host_loaders(4, size=32, batch_size=4)
+        assert all(len(ld) == 2 for ld in loaders)  # 32/4 hosts /4 batch
+
+    def test_uneven_remainder_dropped_consistently(self):
+        # 30 samples over 4 hosts -> 7 per host, last 2 dropped globally;
+        # every host agrees on the slab boundaries.
+        loaders = _host_loaders(4, size=30, batch_size=7)
+        per_host = [_epoch_keys(ld) for ld in loaders]
+        flat = [k for keys in per_host for k in keys]
+        assert len(flat) == 28 and len(set(flat)) == 28
+
+    def test_epochs_advance_in_lockstep(self):
+        # Same loader state machine on every host: epoch 2's permutation
+        # is identical across hosts (seeded by (seed, epoch)).
+        a, b = _host_loaders(2)
+        e1 = _epoch_keys(a) + _epoch_keys(b)       # epoch 1
+        e2 = _epoch_keys(a) + _epoch_keys(b)       # epoch 2
+        single = _host_loaders(1)[0]
+        assert e1 == _epoch_keys(single)
+        assert e2 == _epoch_keys(single)
+        assert e1 != e2  # reshuffled between epochs
+
+
+def _emulate_global(mesh, local_slices, axis="data"):
+    """Assemble per-"host" local batch slices into a global array the way
+    ``make_array_from_process_local_data`` does on a real pod: split each
+    host's slice across that host's devices, then build the global Array
+    from the single-device shards."""
+    sharding = batch_sharded(mesh, axis)
+    devs = list(mesh.devices.reshape(-1))
+    n_hosts = len(local_slices)
+    per_host = len(devs) // n_hosts
+
+    def put(*locals_):
+        global_shape = (sum(x.shape[0] for x in locals_),) + locals_[0].shape[1:]
+        shards = []
+        for h, local in enumerate(locals_):
+            pieces = np.split(np.asarray(local), per_host, axis=0)
+            for d, piece in enumerate(pieces):
+                shards.append(jax.device_put(piece, devs[h * per_host + d]))
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, shards)
+
+    return jax.tree.map(put, *local_slices)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
+class TestGlobalAssembly:
+    def test_emulated_two_host_assembly_matches_single_host(self):
+        mesh = make_mesh()  # all 8 virtual devices on "data"
+        rng = np.random.default_rng(0)
+        full = {"x": rng.standard_normal((16, 6, 6, 3)).astype(np.float32),
+                "ids": rng.integers(0, 100, (16, 30)).astype(np.int32)}
+        halves = [jax.tree.map(lambda a: a[:8], full),
+                  jax.tree.map(lambda a: a[8:], full)]
+        assembled = _emulate_global(mesh, halves)
+        reference = shard_batch(mesh, full)
+        for k in full:
+            assert assembled[k].sharding == reference[k].sharding
+            np.testing.assert_array_equal(np.asarray(assembled[k]),
+                                          np.asarray(reference[k]))
+
+    def test_jitted_dp_reduction_identical(self):
+        # The assembled global array must be a drop-in input to a jitted
+        # step: a sharded reduction gives bitwise the single-host result.
+        mesh = make_mesh()
+        rng = np.random.default_rng(1)
+        full = {"x": rng.standard_normal((16, 32)).astype(np.float32)}
+        quarters = [jax.tree.map(lambda a: a[i * 4:(i + 1) * 4], full)
+                    for i in range(4)]
+        assembled = _emulate_global(mesh, quarters)
+
+        @jax.jit
+        def step(batch):
+            return jnp.sum(batch["x"] ** 2, axis=-1)
+
+        np.testing.assert_array_equal(
+            np.asarray(step(assembled)),
+            np.asarray(step(shard_batch(mesh, full))))
+
+    def test_global_batch_single_process_path(self):
+        # In-process, global_batch must behave exactly like shard_batch
+        # (the trainers now route through it).
+        mesh = make_mesh()
+        rng = np.random.default_rng(2)
+        tree = {"imgs": [rng.standard_normal((8, 4, 4, 3)).astype(np.float32)],
+                "ids": rng.integers(0, 9, (8, 7)).astype(np.int32)}
+        out = global_batch(mesh, tree)
+        ref = shard_batch(mesh, tree)
+        np.testing.assert_array_equal(np.asarray(out["imgs"][0]),
+                                      np.asarray(ref["imgs"][0]))
+        assert out["ids"].sharding == ref["ids"].sharding
+
+    def test_loader_to_global_step_end_to_end(self):
+        # Full path: 2 emulated hosts run their DataLoaders, collate their
+        # local batches, assemble, and a jitted reduction over the global
+        # batch equals the single-host loader's result.
+        mesh = make_mesh()
+        loaders = _host_loaders(2, size=16, batch_size=8, seed=3)
+        single = _host_loaders(1, size=16, batch_size=16, seed=3)[0]
+        local = [next(iter(ld)) for ld in loaders]
+        full = next(iter(single))
+        assembled = _emulate_global(
+            mesh, [{"ids": b.input_ids} for b in local])
+        reference = shard_batch(mesh, {"ids": full.input_ids})
+
+        @jax.jit
+        def checksum(t):
+            return jnp.sum(t["ids"], axis=-1)
+
+        np.testing.assert_array_equal(np.asarray(checksum(assembled)),
+                                      np.asarray(checksum(reference)))
