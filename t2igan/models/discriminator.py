@@ -122,6 +122,14 @@ class DNet(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         """x: [B, S, S, 3] in [-1, 1] -> [B, 4, 4, 8ndf] feature code."""
+        if x.shape[1] != self.img_size or self.img_size < 64:
+            # Without this the head's concat of a <4x4 code with the tiled
+            # 4x4 sentence embedding fails deep inside lax.concatenate.
+            raise ValueError(
+                f"D_NET{self.img_size} got a {x.shape[1]}x{x.shape[2]} "
+                f"image; the discriminator trunk downsamples 16x to a 4x4 "
+                f"code, so inputs must be {max(self.img_size, 64)}^2 "
+                f"(TREE.BASE_SIZE >= 64 — reference floor, model.py:705)")
         h = Encode16x(self.ndf, self.dtype)(x)
         if self.img_size >= 128:
             h = DownBlock(self.ndf * 16, self.dtype)(h)

@@ -43,6 +43,11 @@ def build_discriminators(cfg: Config, dtype: Any = jnp.float32
     """One discriminator per pyramid branch (trainer.py:104-111); under
     B_DCGAN only the finest-scale D with no unconditional head
     (trainer.py:93-102)."""
+    if min(cfg.branch_sizes) < 64:
+        raise ValueError(
+            f"discriminators need >=64^2 inputs (trunk downsamples 16x to "
+            f"a 4x4 code, model.py:654-701) but the pyramid is "
+            f"{cfg.branch_sizes}; raise TREE.BASE_SIZE to at least 64")
     if cfg.GAN.B_DCGAN:
         return [DNetWithHeads(ndf=cfg.GAN.DF_DIM, nef=cfg.TEXT.EMBEDDING_DIM,
                               img_size=cfg.final_size, b_jcu=False,

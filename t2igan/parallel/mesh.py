@@ -94,3 +94,40 @@ def global_batch(mesh: Mesh, tree, axis: str = "data"):
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sharding, x), tree)
+
+
+def emulated_global_batch(mesh: Mesh, local_slices: Sequence,
+                          axis: str = "data"):
+    """Single-process emulation of :func:`global_batch`'s multi-host path.
+
+    ``local_slices`` is a list of H per-"host" pytrees (host ``i``'s slice
+    of the global batch, as the ``DataLoader`` with ``host_index=i,
+    host_count=H`` would produce).  Each slice is split across that host's
+    contiguous block of mesh devices and the shards are stitched with
+    ``jax.make_array_from_single_device_arrays`` — exactly what
+    ``make_array_from_process_local_data`` does on a real pod, with the
+    shard list restricted to addressable devices.  Used by the multichip
+    dryrun and tests to validate the multi-host assembly without multiple
+    processes; the result must be indistinguishable from
+    :func:`shard_batch` of the concatenated batch.
+    """
+    sharding = batch_sharded(mesh, axis)
+    devs = list(mesh.devices.reshape(-1))
+    n_hosts = len(local_slices)
+    if len(devs) % n_hosts:
+        raise ValueError(f"{len(devs)} devices not divisible by "
+                         f"{n_hosts} emulated hosts")
+    per_host = len(devs) // n_hosts
+
+    def put(*locals_):
+        global_shape = ((sum(x.shape[0] for x in locals_),)
+                        + tuple(locals_[0].shape[1:]))
+        shards = []
+        for h, local in enumerate(locals_):
+            pieces = np.split(np.asarray(local), per_host, axis=0)
+            for d, piece in enumerate(pieces):
+                shards.append(jax.device_put(piece, devs[h * per_host + d]))
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, shards)
+
+    return jax.tree.map(put, *local_slices)

@@ -219,3 +219,18 @@ def test_gdcgan_single_output(rng):
     assert len(atts2) == 0  # return_attn=False
     np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(imgs2[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_discriminator_rejects_sub64_pyramid():
+    """The D trunk downsamples 16x to a 4x4 code; a <64 branch must fail
+    loudly at build time, not as a lax.concatenate shape error mid-trace."""
+    cfg = cfg_replace(Config(), TREE={"BASE_SIZE": 16, "BRANCH_NUM": 3})
+    with pytest.raises(ValueError, match="BASE_SIZE"):
+        build_discriminators(cfg)
+
+
+def test_dnet_rejects_mismatched_input_size():
+    d = DNetWithHeads(ndf=8, nef=32, img_size=64)
+    with pytest.raises(ValueError, match="D_NET64"):
+        d.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+               method=DNetWithHeads.features)

@@ -30,8 +30,8 @@ from t2igan.config import Config, cfg_replace
 from t2igan.data.pipeline import DataLoader
 from t2igan.data.synthetic import SyntheticDataset
 from t2igan.data.tokenizer import ClipTokenizer
-from t2igan.parallel.mesh import (batch_sharded, global_batch, make_mesh,
-                                  shard_batch)
+from t2igan.parallel.mesh import (emulated_global_batch, global_batch,
+                                  make_mesh, shard_batch)
 
 CFG = cfg_replace(Config(), TRAIN={"BATCH_SIZE": 4},
                   TREE={"BASE_SIZE": 16, "BRANCH_NUM": 2})
@@ -89,27 +89,7 @@ class TestLoaderHostPartition:
         assert e1 != e2  # reshuffled between epochs
 
 
-def _emulate_global(mesh, local_slices, axis="data"):
-    """Assemble per-"host" local batch slices into a global array the way
-    ``make_array_from_process_local_data`` does on a real pod: split each
-    host's slice across that host's devices, then build the global Array
-    from the single-device shards."""
-    sharding = batch_sharded(mesh, axis)
-    devs = list(mesh.devices.reshape(-1))
-    n_hosts = len(local_slices)
-    per_host = len(devs) // n_hosts
-
-    def put(*locals_):
-        global_shape = (sum(x.shape[0] for x in locals_),) + locals_[0].shape[1:]
-        shards = []
-        for h, local in enumerate(locals_):
-            pieces = np.split(np.asarray(local), per_host, axis=0)
-            for d, piece in enumerate(pieces):
-                shards.append(jax.device_put(piece, devs[h * per_host + d]))
-        return jax.make_array_from_single_device_arrays(
-            global_shape, sharding, shards)
-
-    return jax.tree.map(put, *local_slices)
+_emulate_global = emulated_global_batch
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
