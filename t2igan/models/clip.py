@@ -107,12 +107,16 @@ class MultiHeadAttention(nn.Module):
         h = self.num_heads
         hd = d // h
 
-        def proj(name):
-            return nn.Dense(d, dtype=self.dtype, name=name)
-
-        q = proj("q_proj")(x).reshape(b, l, h, hd) * (hd ** -0.5)
-        k = proj("k_proj")(x).reshape(b, l, h, hd)
-        v = proj("v_proj")(x).reshape(b, l, h, hd)
+        # One fused [d, 3, d] projection instead of three [d, d] Denses:
+        # a single wide MXU matmul and one input read (the torch converter
+        # stacks HF's q/k/v weights).  The kept middle axis keeps each
+        # rank's q/k/v columns aligned under tensor parallelism
+        # (P(None, None, model) — heads stay rank-local, see parallel/tp.py).
+        qkv = nn.DenseGeneral((3, d), axis=-1, dtype=self.dtype,
+                              name="qkv_proj")(x)
+        q = qkv[..., 0, :].reshape(b, l, h, hd) * (hd ** -0.5)
+        k = qkv[..., 1, :].reshape(b, l, h, hd)
+        v = qkv[..., 2, :].reshape(b, l, h, hd)
         import os
 
         if os.environ.get("T2IGAN_FLASH_ATTN", "0") == "1":
@@ -358,11 +362,14 @@ def _convert_layer(sd, src):
         return {"kernel": _t(sd[f"{src}.{name}.weight"]),
                 "bias": sd[f"{src}.{name}.bias"]}
 
+    qkv = [lin(f"self_attn.{n}_proj") for n in ("q", "k", "v")]
     return {
         "self_attn": {
-            "q_proj": lin("self_attn.q_proj"),
-            "k_proj": lin("self_attn.k_proj"),
-            "v_proj": lin("self_attn.v_proj"),
+            # fused [d, 3, d] kernel / [3, d] bias (see MultiHeadAttention)
+            "qkv_proj": {
+                "kernel": np.stack([p["kernel"] for p in qkv], axis=1),
+                "bias": np.stack([p["bias"] for p in qkv], axis=0),
+            },
             "out_proj": lin("self_attn.out_proj"),
         },
         "layer_norm1": {"scale": sd[f"{src}.layer_norm1.weight"],

@@ -25,7 +25,14 @@ def _spec_for_path(path, leaf, model_axis: str) -> P:
     if ndim == 0:
         return P()
     # column-parallel: outputs sharded
-    if any(s in name for s in ("q_proj", "k_proj", "v_proj", "fc1")):
+    if "qkv_proj" in name:
+        # fused kernel [d, 3, d] / bias [3, d]: shard the feature dim so
+        # each rank holds its own heads' q, k AND v columns
+        if name.endswith("kernel"):
+            return P(None, None, model_axis)
+        if name.endswith("bias"):
+            return P(None, model_axis)
+    if "fc1" in name:
         if name.endswith("kernel"):
             return P(None, model_axis)
         if name.endswith("bias"):

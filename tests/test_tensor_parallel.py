@@ -75,7 +75,7 @@ def test_tp_grads_match_replicated(setup):
     sharded_params = shard_clip_params(variables["params"], mesh)
     out = grad_fn(sharded_params, batch)
     a = np.asarray(jax.device_get(
-        out["text_model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]))
+        out["text_model"]["layers_0"]["self_attn"]["qkv_proj"]["kernel"]))
     b = np.asarray(
-        ref["text_model"]["layers_0"]["self_attn"]["q_proj"]["kernel"])
+        ref["text_model"]["layers_0"]["self_attn"]["qkv_proj"]["kernel"])
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)

@@ -40,4 +40,8 @@ echo "=== 6. flash attention A/B (DAMSM step) $(date)" >> "$log"
 timeout 3600 python tools/flash_attn_ab.py >> "$log" 2>&1
 echo "=== 7. bench geneval MEMREAD=jnp A/B $(date)" >> "$log"
 T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_MEMREAD=jnp timeout 2700 python bench.py --mode geneval --batch 128 --iters 20 >> "$log" 2>&1
+echo "=== 8. bench damsm (fused-qkv CLIP step; prev 197.8 steps/s b48 bf16) $(date)" >> "$log"
+T2IGAN_BENCH_NO_SUPERVISE=1 timeout 2700 python bench.py --mode damsm --batch 48 --iters 20 --dtype bf16 >> "$log" 2>&1
+echo "=== 9. bench train (adversarial step; prev 288.9 steps/s b16 bf16) $(date)" >> "$log"
+T2IGAN_BENCH_NO_SUPERVISE=1 timeout 2700 python bench.py --mode train --batch 16 --iters 20 --dtype bf16 >> "$log" 2>&1
 echo "=== queue done $(date)" >> "$log"
