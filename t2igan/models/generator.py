@@ -399,6 +399,17 @@ class NextStageG(nn.Module):
         if not use_fused_tail(self.fused_tail, train):
             for i in range(self.num_residual):
                 h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
+            if (not train and hh >= 128 and ww % 8 == 0 and c % 128 == 0
+                    and os.environ.get("T2IGAN_LAYOUT_PIN", "0") == "1"):
+                # A/B lever over XLA's layout assignment: pin the stage-3
+                # upconv's input row-major at a custom-call boundary (the
+                # in-graph batch-minor form of that conv costs +7.3 ms over
+                # its row-major form — ops/pallas/identity.py).
+                from t2igan.ops.pallas.identity import layout_pin
+
+                h_new = jax.lax.platform_dependent(
+                    h_new, tpu=layout_pin, axon=layout_pin,
+                    default=lambda x: x)
             up = UpBlock(self.ngf, self.dtype, self.upblock)
             flag = os.environ.get("T2IGAN_RGB_KERNEL", "0")
             if (rgb_kernel is not None and flag == "glu" and not train

@@ -33,4 +33,7 @@ T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_MEMREAD=jnp T2IGAN_RGB_KERNEL=glu \
 echo "=== E3. geneval batch 256 (default flags) $(date)" >> "$log"
 T2IGAN_BENCH_NO_SUPERVISE=1 \
   timeout 2700 python bench.py --mode geneval --batch 256 --iters 20 >> "$log" 2>&1
+echo "=== E4. geneval LAYOUT_PIN=1 (row-major pin before the stage-3 upconv) $(date)" >> "$log"
+T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_LAYOUT_PIN=1 \
+  timeout 2700 python bench.py --mode geneval --batch 128 --iters 20 >> "$log" 2>&1
 echo "=== queue EXTRA done $(date)" >> "$log"
