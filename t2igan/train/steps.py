@@ -177,65 +177,68 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
         pad1 = batch["mask"] == 0
         pad2 = batch["mask_2"] == 0
 
-        # ---- G forward (pre-update params) for the D step ----
-        fakes1, mu1, lv1, bs1 = generate(state.g_params, state.g_batch_stats,
-                                         z, sent1, words1, pad1, eps1)
-        fakes2, mu2, lv2, bs2 = generate(state.g_params, bs1,
-                                         z, sent2, words2, pad2, eps2)
-        fakes1 = [jax.lax.stop_gradient(f) for f in fakes1]
-        fakes2 = [jax.lax.stop_gradient(f) for f in fakes2]
-
-        # ---- per-scale discriminator updates (trainer.py:361-376) ----
-        new_d_params, new_d_spectral, new_d_opts = [], [], []
-        metrics: Dict[str, Array] = {}
-        for i in range(n_scales):
-            model = d_models[i]
-            real = batch["images"][i]
-
-            def d_loss_fn(dp, i=i, model=model, real=real):
-                x = jnp.concatenate([real, fakes1[i], fakes2[i]], axis=0)
-                h, upd = model.apply(
-                    {"params": dp, "spectral": state.d_spectral[i]},
-                    x, method=model.features, mutable=["spectral"])
-                h_r, h_f1, h_f2 = jnp.split(h, 3, axis=0)
-
-                def head(hc, c):
-                    return model.apply({"params": dp,
-                                        "spectral": upd["spectral"]},
-                                       hc, c, method=model.cond)
-
-                def uhead(hc):
-                    return model.apply({"params": dp,
-                                        "spectral": upd["spectral"]},
-                                       hc, method=model.uncond)
-
-                loss1, aux1 = discriminator_loss(
-                    head(h_r, sent1), head(h_f1, sent1),
-                    head(h_r, wrong_pair(sent1)),
-                    uhead(h_r), uhead(h_f1))
-                loss2, _ = discriminator_loss(
-                    head(h_r, sent2), head(h_f2, sent2),
-                    head(h_r, wrong_pair(sent2)),
-                    uhead(h_r), uhead(h_f2))
-                return loss1 + loss2, (upd["spectral"], aux1)
-
-            (d_loss, (spec, aux)), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.d_params[i])
-            upds, new_opt = d_tx.update(d_grads, state.d_opt_states[i],
-                                        state.d_params[i])
-            new_d_params.append(optax.apply_updates(state.d_params[i], upds))
-            new_d_spectral.append(spec)
-            new_d_opts.append(new_opt)
-            metrics[f"d_loss{i}"] = d_loss
-            metrics[f"real_acc{i}"] = aux["real_acc"]
-            metrics[f"fake_acc{i}"] = aux["fake_acc"]
-
-        # ---- generator update (trainer.py:388-435) ----
+        # The whole iteration lives inside ONE differentiated function so
+        # each caption view pays a single G forward (trainer.py:352-354
+        # generates once and feeds both the D updates and the G loss): the
+        # stop-gradiented fakes drive the D updates — that subgraph carries
+        # no gp tangents, so the outer AD treats it as primal and saves no
+        # residuals for it — and the same tensors (with grad) then meet the
+        # freshly *updated* discriminators (trainer.py:388-435).
         def g_loss_fn(gp):
             f1, mu1g, lv1g, b1 = generate(gp, state.g_batch_stats, z, sent1,
                                           words1, pad1, eps1)
             f2, mu2g, lv2g, b2 = generate(gp, b1, z, sent2, words2, pad2,
                                           eps2)
+            fakes1 = [jax.lax.stop_gradient(f) for f in f1]
+            fakes2 = [jax.lax.stop_gradient(f) for f in f2]
+
+            # ---- per-scale discriminator updates (trainer.py:361-376) ----
+            new_d_params, new_d_spectral, new_d_opts = [], [], []
+            d_metrics: Dict[str, Array] = {}
+            for i in range(n_scales):
+                model = d_models[i]
+                real = batch["images"][i]
+
+                def d_loss_fn(dp, i=i, model=model, real=real):
+                    x = jnp.concatenate([real, fakes1[i], fakes2[i]], axis=0)
+                    h, upd = model.apply(
+                        {"params": dp, "spectral": state.d_spectral[i]},
+                        x, method=model.features, mutable=["spectral"])
+                    h_r, h_f1, h_f2 = jnp.split(h, 3, axis=0)
+
+                    def head(hc, c):
+                        return model.apply({"params": dp,
+                                            "spectral": upd["spectral"]},
+                                           hc, c, method=model.cond)
+
+                    def uhead(hc):
+                        return model.apply({"params": dp,
+                                            "spectral": upd["spectral"]},
+                                           hc, method=model.uncond)
+
+                    loss1, aux1 = discriminator_loss(
+                        head(h_r, sent1), head(h_f1, sent1),
+                        head(h_r, wrong_pair(sent1)),
+                        uhead(h_r), uhead(h_f1))
+                    loss2, _ = discriminator_loss(
+                        head(h_r, sent2), head(h_f2, sent2),
+                        head(h_r, wrong_pair(sent2)),
+                        uhead(h_r), uhead(h_f2))
+                    return loss1 + loss2, (upd["spectral"], aux1)
+
+                (d_loss, (spec, aux)), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(state.d_params[i])
+                upds, new_opt = d_tx.update(d_grads, state.d_opt_states[i],
+                                            state.d_params[i])
+                new_d_params.append(
+                    optax.apply_updates(state.d_params[i], upds))
+                new_d_spectral.append(spec)
+                new_d_opts.append(new_opt)
+                d_metrics[f"d_loss{i}"] = d_loss
+                d_metrics[f"real_acc{i}"] = aux["real_acc"]
+                d_metrics[f"fake_acc{i}"] = aux["fake_acc"]
+
+            # ---- generator losses vs the updated Ds (trainer.py:388) ----
             adv = 0.0
             for i in range(n_scales):
                 model = d_models[i]
@@ -268,7 +271,8 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
             total = adv + w_a + w_b + s_a + s_b + kl + contrast
             aux = {"g_adv": adv, "w_loss": w_a + w_b, "s_loss": s_a + s_b,
                    "kl_loss": kl, "contrastive": contrast,
-                   "batch_stats": b2}
+                   "batch_stats": b2, "d_metrics": d_metrics,
+                   "d_state": (new_d_params, new_d_spectral, new_d_opts)}
             return total, aux
 
         (g_loss, g_aux), g_grads = jax.value_and_grad(
@@ -278,9 +282,11 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
         g_params = optax.apply_updates(state.g_params, g_upds)
         ema = ema_update(state.g_ema_params, g_params, ema_decay)
 
+        metrics: Dict[str, Array] = dict(g_aux["d_metrics"])
         metrics["g_loss"] = g_loss
         for k in ("g_adv", "w_loss", "s_loss", "kl_loss", "contrastive"):
             metrics[k] = g_aux[k]
+        new_d_params, new_d_spectral, new_d_opts = g_aux["d_state"]
 
         new_state = state.replace(
             step=state.step + 1,
