@@ -260,3 +260,160 @@ def test_damsm_step_data_parallel(clip_setup):
     _, out = step(state_r, sharded)
     np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gan_step_matches_two_phase_oracle(gan_setup):
+    """The production step folds the D updates inside the differentiated G
+    function so each caption view pays ONE generator forward.  This oracle
+    re-implements the step in the naive two-phase form (separate stop-grad
+    G forward for the D updates, regeneration inside the G loss — exactly
+    what the fold must be equivalent to) and pins parameter-level agreement;
+    a regression in the fold's AD structure (e.g. tangents leaking through
+    the D update, or the D step seeing different fakes than the G loss
+    differentiates) shows up here as a parameter mismatch."""
+    from t2igan.losses import (discriminator_loss, generator_adv_loss,
+                               kl_loss, nt_xent_loss, sent_loss, words_loss,
+                               wrong_pair)
+    from t2igan.ops.image import resize_nearest
+    from t2igan.train.state import ema_update
+    import optax
+
+    clip_model, clip_vars, gen, ds, state, step = gan_setup
+    g_tx, d_tx = gan_optimizers(CFG)
+    cfgs = CFG.TRAIN.SMOOTH
+    g1, g2, g3, lam = cfgs.GAMMA1, cfgs.GAMMA2, cfgs.GAMMA3, cfgs.LAMBDA
+
+    def _l2n(x):
+        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+
+    def encode_text(ids, mask):
+        words, sent = clip_model.apply(
+            {"params": clip_vars["params"]}, ids, mask,
+            method=type(clip_model).encode_text_verbose)
+        return jax.lax.stop_gradient(words), jax.lax.stop_gradient(sent)
+
+    def generate(gp, stats, z, sent, words, pad, eps):
+        (fakes, _, mu, logvar), upd = gen.apply(
+            {"params": gp, "batch_stats": stats},
+            z, sent, words, pad, True, eps, False,
+            mutable=["batch_stats"])
+        return fakes, mu, logvar, upd["batch_stats"]
+
+    def oracle(state, batch, rng):
+        b = batch["ids"].shape[0]
+        rng_z, rng_e1, rng_e2 = jax.random.split(rng, 3)
+        z = jax.random.normal(rng_z, (b, CFG.GAN.Z_DIM))
+        eps1 = jax.random.normal(rng_e1, (b, CFG.GAN.CONDITION_DIM))
+        eps2 = jax.random.normal(rng_e2, (b, CFG.GAN.CONDITION_DIM))
+        words1, sent1 = encode_text(batch["ids"], batch["mask"])
+        words2, sent2 = encode_text(batch["ids_2"], batch["mask_2"])
+        pad1, pad2 = batch["mask"] == 0, batch["mask_2"] == 0
+
+        # phase 1: stop-grad G forward, D updates
+        fakes1, *_ , bs1 = generate(state.g_params, state.g_batch_stats,
+                                    z, sent1, words1, pad1, eps1)
+        fakes2, *_ , _ = generate(state.g_params, bs1,
+                                  z, sent2, words2, pad2, eps2)
+        fakes1 = [jax.lax.stop_gradient(f) for f in fakes1]
+        fakes2 = [jax.lax.stop_gradient(f) for f in fakes2]
+        new_dp, new_dspec, new_dopt = [], [], []
+        for i, model in enumerate(ds):
+            real = batch["images"][i]
+
+            def d_loss_fn(dp):
+                x = jnp.concatenate([real, fakes1[i], fakes2[i]], axis=0)
+                h, upd = model.apply(
+                    {"params": dp, "spectral": state.d_spectral[i]},
+                    x, method=model.features, mutable=["spectral"])
+                h_r, h_f1, h_f2 = jnp.split(h, 3, axis=0)
+
+                def head(hc, c):
+                    return model.apply(
+                        {"params": dp, "spectral": upd["spectral"]},
+                        hc, c, method=model.cond)
+
+                def uhead(hc):
+                    return model.apply(
+                        {"params": dp, "spectral": upd["spectral"]},
+                        hc, method=model.uncond)
+
+                l1, _ = discriminator_loss(
+                    head(h_r, sent1), head(h_f1, sent1),
+                    head(h_r, wrong_pair(sent1)), uhead(h_r), uhead(h_f1))
+                l2, _ = discriminator_loss(
+                    head(h_r, sent2), head(h_f2, sent2),
+                    head(h_r, wrong_pair(sent2)), uhead(h_r), uhead(h_f2))
+                return l1 + l2, upd["spectral"]
+
+            (_, spec), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.d_params[i])
+            upds, nopt = d_tx.update(grads, state.d_opt_states[i],
+                                     state.d_params[i])
+            new_dp.append(optax.apply_updates(state.d_params[i], upds))
+            new_dspec.append(spec)
+            new_dopt.append(nopt)
+
+        # phase 2: regenerate inside the G loss, vs the updated Ds
+        def g_loss_fn(gp):
+            f1, mu1, lv1, b1 = generate(gp, state.g_batch_stats, z, sent1,
+                                        words1, pad1, eps1)
+            f2, mu2, lv2, b2 = generate(gp, b1, z, sent2, words2, pad2, eps2)
+            adv = 0.0
+            for i, model in enumerate(ds):
+                for fakes, sent in ((f1, sent1), (f2, sent2)):
+                    dv = {"params": new_dp[i], "spectral": new_dspec[i]}
+                    h = model.apply(dv, fakes[i], method=model.features)
+                    adv = adv + generator_adv_loss(
+                        model.apply(dv, h, sent, method=model.cond),
+                        model.apply(dv, h, method=model.uncond))
+            cls = batch["class_ids"]
+
+            def damsm_terms(fakes, words, mask, sent):
+                resized = resize_nearest(fakes[-1],
+                                         clip_model.cfg.image_size)
+                subr, img_code = clip_model.apply(
+                    {"params": clip_vars["params"]}, resized,
+                    method=type(clip_model).encode_image_verbose)
+                wl0, wl1 = words_loss(subr[:, 1:, :], words, cls,
+                                      mask > 0, g1, g2, g3)
+                sl0, sl1 = sent_loss(img_code, sent, cls, g3)
+                return (wl0 + wl1) * lam, (sl0 + sl1) * lam, img_code
+
+            w_a, s_a, c1 = damsm_terms(f1, words1, batch["mask"], sent1)
+            w_b, s_b, c2 = damsm_terms(f2, words2, batch["mask_2"], sent2)
+            kl = kl_loss(mu1, lv1) + kl_loss(mu2, lv2)
+            contrast = 0.2 * nt_xent_loss(_l2n(c1), _l2n(c2), 0.5)
+            return (adv + w_a + w_b + s_a + s_b + kl + contrast,
+                    {"batch_stats": b2})
+
+        (g_loss, aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_upds, g_opt = g_tx.update(g_grads, state.g_opt_state,
+                                    state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_upds)
+        return state.replace(
+            step=state.step + 1, g_params=g_params,
+            g_batch_stats=aux["batch_stats"],
+            g_ema_params=ema_update(state.g_ema_params, g_params, 0.999),
+            g_opt_state=g_opt, d_params=new_dp, d_spectral=new_dspec,
+            d_opt_states=new_dopt)
+
+    batch = _gan_batch(np.random.default_rng(7))
+    rng = jax.random.PRNGKey(11)
+    got, _ = step(state, clip_vars["params"], batch, rng)
+    want = jax.jit(oracle)(state, batch, rng)
+
+    for name in ("g_params", "g_ema_params", "g_batch_stats"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4),
+            getattr(got, name), getattr(want, name))
+    for i in range(len(ds)):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4),
+            got.d_params[i], want.d_params[i])
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4),
+            got.d_spectral[i], want.d_spectral[i])
