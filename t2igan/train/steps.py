@@ -239,16 +239,21 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
                 d_metrics[f"fake_acc{i}"] = aux["fake_acc"]
 
             # ---- generator losses vs the updated Ds (trainer.py:388) ----
+            # both caption views ride ONE [2B] trunk/head apply per scale —
+            # the trunk is BN-free so this is exact, and the doubled batch
+            # keeps the D convs on fatter MXU tiles at small train batches
+            sent12 = jnp.concatenate([sent1, sent2], axis=0)
             adv = 0.0
             for i in range(n_scales):
                 model = d_models[i]
-                for fakes, sent in ((f1, sent1), (f2, sent2)):
-                    dv = {"params": new_d_params[i],
-                          "spectral": new_d_spectral[i]}
-                    h = model.apply(dv, fakes[i], method=model.features)
-                    cond = model.apply(dv, h, sent, method=model.cond)
-                    uncond = model.apply(dv, h, method=model.uncond)
-                    adv = adv + generator_adv_loss(cond, uncond)
+                dv = {"params": new_d_params[i],
+                      "spectral": new_d_spectral[i]}
+                h = model.apply(dv, jnp.concatenate([f1[i], f2[i]], axis=0),
+                                method=model.features)
+                cond = model.apply(dv, h, sent12, method=model.cond)
+                uncond = model.apply(dv, h, method=model.uncond)
+                for c, u in zip(jnp.split(cond, 2), jnp.split(uncond, 2)):
+                    adv = adv + generator_adv_loss(c, u)
 
             # DAMSM ranking loss on the finest scale (losses.py:329-364)
             cls = batch["class_ids"]
