@@ -216,6 +216,36 @@ class UpBlock(nn.Module):
                 return jnp_form(xc, kc)
             return jax.lax.platform_dependent(xc, kc, tpu=fused, axon=fused,
                                               default=jnp_form)
+        if variant == "bm" and not train and not pre_glu:
+            # Batch-minor fused eval path (ops/pallas/upconv_bm.py): the
+            # kernel reads XLA's native batch-minor activation layout
+            # through a transposed view (boundary transposes become layout
+            # bitcasts), so unlike the row-major 'pallas' variant it pays
+            # no 537 MB layout copies at the custom-call edges.  Gated to
+            # the refinement-stage shapes it is built for: lanes carry the
+            # batch (B % 128 == 0) and C small enough that the row buffers
+            # fit VMEM; everything else takes the equivalent jnp form.
+            from t2igan.ops.pallas.upconv_bm import upconv_bn_glu_bm
+
+            f2 = self.features * 2
+            kernel = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
+            scale, shift = _bn_affine(BatchNorm(self.dtype), f2)
+            xc = x.astype(self.dtype)
+            kc = kernel.astype(self.dtype)
+            bdim, h_in, w_in, c_in = x.shape
+
+            def fused(x_, k):
+                return upconv_bn_glu_bm(x_, k, scale, shift)
+
+            def jnp_form(x_, k):
+                y = conv3x3_on_up2x_dilated(x_, k)
+                y = y.astype(jnp.float32) * scale + shift
+                return glu(y).astype(x_.dtype)
+
+            if bdim % 128 == 0 and c_in <= 128 and f2 <= 256:
+                return jax.lax.platform_dependent(
+                    xc, kc, tpu=fused, axon=fused, default=jnp_form)
+            return jnp_form(xc, kc)
         if variant == "naive" or variant == "pallas":
             x = upsample_nearest_2x(x)
             x = nn.Conv(self.features * 2, (3, 3), padding=1, use_bias=False,

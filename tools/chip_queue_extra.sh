@@ -36,4 +36,7 @@ T2IGAN_BENCH_NO_SUPERVISE=1 \
 echo "=== E4. geneval LAYOUT_PIN=1 (row-major pin before the stage-3 upconv) $(date)" >> "$log"
 T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_LAYOUT_PIN=1 \
   timeout 2700 python bench.py --mode geneval --batch 128 --iters 20 >> "$log" 2>&1
+echo "=== E5. geneval UPBLOCK=bm (batch-minor fused upconv kernel) $(date)" >> "$log"
+T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_UPBLOCK=bm \
+  timeout 2700 python bench.py --mode geneval --batch 128 --iters 20 >> "$log" 2>&1
 echo "=== queue EXTRA done $(date)" >> "$log"
