@@ -156,3 +156,21 @@ def test_upblock_bm_variant_train_mode_unchanged(rng, monkeypatch):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-5),
         ref_upd, got_upd)
+
+
+@pytest.mark.slow
+def test_upconv_bm_production_dims(rng):
+    """Production stage-3 spatial dims (128^2, C=F=128 -> the default
+    T=8/Wc=32 chunking) at a reduced batch, interpret mode."""
+    from t2igan.ops.pallas.upconv_bm import upconv_bn_glu_bm
+
+    b, h, w, c, f = 8, 128, 128, 128, 128
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, c, f)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, f).astype(np.float32))
+    shift = jnp.asarray(0.1 * rng.standard_normal(f).astype(np.float32))
+    got = upconv_bn_glu_bm(x, k, scale, shift, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_naive(x, k, scale, shift)),
+                               rtol=1e-4, atol=1e-4)
