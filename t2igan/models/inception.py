@@ -92,13 +92,18 @@ class InceptionA(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fused = BasicConv2d(64 + 48 + 64, (1, 1), name="fused1x1")(x)
+        fused = BasicConv2d(64 + 48 + 64, (1, 1), dtype=self.dtype,
+                            name="fused1x1")(x)
         b1, b5, b3 = jnp.split(fused, (64, 112), axis=-1)
-        b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2")(b5)
-        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
-        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
+        b5 = BasicConv2d(64, (5, 5), padding=2, dtype=self.dtype,
+                         name="branch5x5_2")(b5)
+        b3 = BasicConv2d(96, (3, 3), padding=1, dtype=self.dtype,
+                         name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=1, dtype=self.dtype,
+                         name="branch3x3dbl_3")(b3)
         bp = _avg_pool3x3(x, count_include_pad=not self.fid)
-        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
+        bp = BasicConv2d(self.pool_features, (1, 1), dtype=self.dtype,
+                         name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -107,10 +112,14 @@ class InceptionB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b3 = BasicConv2d(384, (3, 3), strides=2, name="branch3x3")(x)
-        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
-        bd = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
-        bd = BasicConv2d(96, (3, 3), strides=2, name="branch3x3dbl_3")(bd)
+        b3 = BasicConv2d(384, (3, 3), strides=2, dtype=self.dtype,
+                         name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), dtype=self.dtype,
+                         name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=1, dtype=self.dtype,
+                         name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), strides=2, dtype=self.dtype,
+                          name="branch3x3dbl_3")(bd)
         bp = _max_pool(x, 3, 2)
         return jnp.concatenate([b3, bd, bp], axis=-1)
 
@@ -123,16 +132,23 @@ class InceptionC(nn.Module):
     @nn.compact
     def __call__(self, x):
         c7 = self.channels_7x7
-        fused = BasicConv2d(192 + 2 * c7, (1, 1), name="fused1x1")(x)
+        fused = BasicConv2d(192 + 2 * c7, (1, 1), dtype=self.dtype,
+                             name="fused1x1")(x)
         b1, b7, bd = jnp.split(fused, (192, 192 + c7), axis=-1)
-        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7_2")(b7)
-        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7_3")(b7)
-        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_2")(bd)
-        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
-        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
-        bd = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
+        b7 = BasicConv2d(c7, (1, 7), padding=(0, 3), dtype=self.dtype,
+                         name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), dtype=self.dtype,
+                         name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), dtype=self.dtype,
+                         name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=(0, 3), dtype=self.dtype,
+                         name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=(3, 0), dtype=self.dtype,
+                         name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=(0, 3), dtype=self.dtype,
+                         name="branch7x7dbl_5")(bd)
         bp = _avg_pool3x3(x, count_include_pad=not self.fid)
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        bp = BasicConv2d(192, (1, 1), dtype=self.dtype, name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -141,12 +157,17 @@ class InceptionD(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fused = BasicConv2d(192 + 192, (1, 1), name="fused1x1")(x)
+        fused = BasicConv2d(192 + 192, (1, 1), dtype=self.dtype,
+                            name="fused1x1")(x)
         b3, b7 = jnp.split(fused, (192,), axis=-1)
-        b3 = BasicConv2d(320, (3, 3), strides=2, name="branch3x3_2")(b3)
-        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), name="branch7x7x3_2")(b7)
-        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), name="branch7x7x3_3")(b7)
-        b7 = BasicConv2d(192, (3, 3), strides=2, name="branch7x7x3_4")(b7)
+        b3 = BasicConv2d(320, (3, 3), strides=2, dtype=self.dtype,
+                         name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 7), padding=(0, 3), dtype=self.dtype,
+                         name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=(3, 0), dtype=self.dtype,
+                         name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), strides=2, dtype=self.dtype,
+                         name="branch7x7x3_4")(b7)
         bp = _max_pool(x, 3, 2)
         return jnp.concatenate([b3, b7, bp], axis=-1)
 
@@ -157,22 +178,26 @@ class InceptionE(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fused = BasicConv2d(320 + 384 + 448, (1, 1), name="fused1x1")(x)
+        fused = BasicConv2d(320 + 384 + 448, (1, 1), dtype=self.dtype,
+                            name="fused1x1")(x)
         b1, b3, bd = jnp.split(fused, (320, 704), axis=-1)
-        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), name="branch3x3_2a")(b3)
-        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), name="branch3x3_2b")(b3)
+        b3a = BasicConv2d(384, (1, 3), padding=(0, 1), dtype=self.dtype,
+                          name="branch3x3_2a")(b3)
+        b3b = BasicConv2d(384, (3, 1), padding=(1, 0), dtype=self.dtype,
+                          name="branch3x3_2b")(b3)
         b3 = jnp.concatenate([b3a, b3b], axis=-1)
-        bd = BasicConv2d(384, (3, 3), padding=1, name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(384, (3, 3), padding=1, dtype=self.dtype,
+                         name="branch3x3dbl_2")(bd)
         bda = BasicConv2d(384, (1, 3), padding=(0, 1),
-                          name="branch3x3dbl_3a")(bd)
+                          dtype=self.dtype, name="branch3x3dbl_3a")(bd)
         bdb = BasicConv2d(384, (3, 1), padding=(1, 0),
-                          name="branch3x3dbl_3b")(bd)
+                          dtype=self.dtype, name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
         if self.pool == "max":
             bp = _max_pool(x, 3, 1, pad=1)
         else:
             bp = _avg_pool3x3(x, count_include_pad=(self.pool == "avg"))
-        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        bp = BasicConv2d(192, (1, 1), dtype=self.dtype, name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -193,27 +218,31 @@ class InceptionV3(nn.Module):
     def __call__(self, x: Array) -> Dict[str, Array]:
         fid = self.variant == "fid"
         out: Dict[str, Array] = {}
-        x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3")(x)
-        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
-        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3")(x)
+        x = BasicConv2d(32, (3, 3), strides=2, dtype=self.dtype,
+                        name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), dtype=self.dtype, name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=1, dtype=self.dtype,
+                        name="Conv2d_2b_3x3")(x)
         x = _max_pool(x, 3, 2)
         out["pool1"] = x                                  # 64-d tap
-        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
-        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = BasicConv2d(80, (1, 1), dtype=self.dtype, name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), dtype=self.dtype, name="Conv2d_4a_3x3")(x)
         x = _max_pool(x, 3, 2)
         out["pool2"] = x                                  # 192-d tap
-        x = InceptionA(32, fid, name="Mixed_5b")(x)
-        x = InceptionA(64, fid, name="Mixed_5c")(x)
-        x = InceptionA(64, fid, name="Mixed_5d")(x)
-        x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(128, fid, name="Mixed_6b")(x)
-        x = InceptionC(160, fid, name="Mixed_6c")(x)
-        x = InceptionC(160, fid, name="Mixed_6d")(x)
-        x = InceptionC(192, fid, name="Mixed_6e")(x)
+        x = InceptionA(32, fid, dtype=self.dtype, name="Mixed_5b")(x)
+        x = InceptionA(64, fid, dtype=self.dtype, name="Mixed_5c")(x)
+        x = InceptionA(64, fid, dtype=self.dtype, name="Mixed_5d")(x)
+        x = InceptionB(dtype=self.dtype, name="Mixed_6a")(x)
+        x = InceptionC(128, fid, dtype=self.dtype, name="Mixed_6b")(x)
+        x = InceptionC(160, fid, dtype=self.dtype, name="Mixed_6c")(x)
+        x = InceptionC(160, fid, dtype=self.dtype, name="Mixed_6d")(x)
+        x = InceptionC(192, fid, dtype=self.dtype, name="Mixed_6e")(x)
         out["mixed6e"] = x                                # 768-d tap
-        x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE("avg_nocount" if fid else "avg", name="Mixed_7b")(x)
-        x = InceptionE("max" if fid else "avg", name="Mixed_7c")(x)
+        x = InceptionD(dtype=self.dtype, name="Mixed_7a")(x)
+        x = InceptionE("avg_nocount" if fid else "avg", dtype=self.dtype,
+                       name="Mixed_7b")(x)
+        x = InceptionE("max" if fid else "avg", dtype=self.dtype,
+                       name="Mixed_7c")(x)
         pooled = jnp.mean(x, axis=(1, 2))                 # global avg pool
         out["pool3"] = pooled                             # 2048-d tap
         out["logits"] = nn.Dense(self.num_classes, dtype=self.dtype,

@@ -379,3 +379,24 @@ def test_inception_score_end_to_end_matches_torch_chain(rng, tmp_path):
                                         batch_size=4, splits=2)
     assert abs(got_mean - ref_mean) < 1e-3, (got_mean, ref_mean)
     assert abs(got_std - ref_std) < 1e-3
+
+
+def test_inception_bf16_mode_tracks_f32(rng):
+    """dtype=bf16 must actually thread into every block's convs (the bench's
+    bf16 gen+eval mode depends on it — a round-2 trace showed the blocks
+    silently staying f32) and stay numerically close to the f32 net."""
+    import jax
+
+    f32 = InceptionV3(variant="fid", num_classes=1008)
+    bf16 = InceptionV3(variant="fid", num_classes=1008, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 299, 299, 3)).astype(np.float32))
+    variables = f32.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(f32.apply(variables, x)["pool3"], np.float32)
+    b = np.asarray(bf16.apply(variables, x)["pool3"], np.float32)
+    # correlation, not elementwise: bf16 drift accumulates over ~30 convs
+    ca = a - a.mean()
+    cb = b - b.mean()
+    corr = float((ca * cb).sum() /
+                 (np.linalg.norm(ca) * np.linalg.norm(cb) + 1e-12))
+    assert corr > 0.995, corr
+    assert np.isfinite(b).all()
