@@ -64,7 +64,7 @@ def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int):
       w_ref:  [4, 2, 2, F, C]    phase kernels, [F, C] per tap (VMEM)
       aff_ref:[2, F, 1]          folded BN scale;shift (VMEM, f32)
       out_hbm:[2H, W, 2, Fh, B]  output, W split as (j, col parity) (ANY)
-      scratch: raw [Wc+2, C, B], xts [T+2, C, Wc+2, B],
+      scratch: raw [T+2, Wc+2, C, B], xts [T+2, C, Wc+2, B],
                stage [2, Wc, 2, Fh, B], sems
     """
     fh = f // 2
@@ -77,15 +77,16 @@ def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int):
         r0 = gi * t
         c0 = gj * wc
 
-        # ---- fetch T+2 padded rows; transpose [Wc+2, C, B] -> [C, .., B]
-        # (34 strided [C, B] tile stores per row — VMEM-bandwidth work)
+        # ---- fetch all T+2 padded rows in ONE strided DMA, then
+        # transpose [Wc+2, C, B] -> [C, Wc+2, B] per row ((T+2)(Wc+2)
+        # [C, B] tile stores — VMEM-bandwidth work)
+        cp = pltpu.make_async_copy(
+            xt_hbm.at[pl.ds(r0, t + 2), pl.ds(c0, wc + 2)], raw, sem_in)
+        cp.start()
+        cp.wait()
         for rr in range(t + 2):
-            cp = pltpu.make_async_copy(
-                xt_hbm.at[r0 + rr, pl.ds(c0, wc + 2)], raw, sem_in)
-            cp.start()
-            cp.wait()
             for j in range(wc + 2):
-                xts[rr, :, j, :] = raw[j]
+                xts[rr, :, j, :] = raw[rr, j]
 
         scale = aff_ref[0].astype(jnp.float32)          # [F, 1]
         shift = aff_ref[1].astype(jnp.float32)
@@ -167,7 +168,7 @@ def upconv_bn_glu_bm(x: jnp.ndarray, kernel: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((wc + 2, c, b), dtype),
+            pltpu.VMEM((t + 2, wc + 2, c, b), dtype),
             pltpu.VMEM((t + 2, c, wc + 2, b), dtype),
             pltpu.VMEM((2, wc, 2, fh, b), dtype),
             pltpu.SemaphoreType.DMA,
