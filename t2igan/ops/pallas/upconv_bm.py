@@ -56,7 +56,8 @@ def _pick_chunks(h: int, w: int) -> tuple:
     return t, wc
 
 
-def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int):
+def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int,
+                 pipelined: bool):
     """Program = T low-res output row pairs x Wc low-res columns.
 
     Refs:
@@ -64,11 +65,28 @@ def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int):
       w_ref:  [4, 2, 2, F, C]    phase kernels, [F, C] per tap (VMEM)
       aff_ref:[2, F, 1]          folded BN scale;shift (VMEM, f32)
       out_hbm:[2H, W, 2, Fh, B]  output, W split as (j, col parity) (ANY)
-      scratch: raw [T+2, Wc+2, C, B], xts [T+2, C, Wc+2, B],
-               stage [2, Wc, 2, Fh, B], sems
+      scratch: raw [S, T+2, Wc+2, C, B] (S = 2 if pipelined else 1),
+               xts [T+2, C, Wc+2, B], stage [2, Wc, 2, Fh, B],
+               sem_in [S] DMA, sem_out [2] DMA
+
+    ``pipelined`` (T2IGAN_BM_PIPE=1): the input block for program i+1 is
+    prefetched into the other ``raw`` slot while program i computes
+    (scratch persists across the sequential grid steps), and output-row
+    DMAs are only waited on before their stage slot is reused — the simple
+    form serializes a ~14 us input fetch and ~16 x 2.4 us output waits
+    against ~90 us of matmuls per program.
     """
     fh = f // 2
     n = wc * b
+    nwc = w // wc
+    nprog = (h // t) * nwc
+
+    def fetch(idx, slot, sem_in, xt_hbm, raw):
+        ri = (idx // nwc) * t
+        cj = (idx % nwc) * wc
+        return pltpu.make_async_copy(
+            xt_hbm.at[pl.ds(ri, t + 2), pl.ds(cj, wc + 2)],
+            raw.at[slot], sem_in.at[slot])
 
     def kernel(xt_hbm, w_ref, aff_ref, out_hbm, raw, xts, stage,
                sem_in, sem_out):
@@ -76,23 +94,47 @@ def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int):
         gj = pl.program_id(1)
         r0 = gi * t
         c0 = gj * wc
+        idx = gi * nwc + gj
 
-        # ---- fetch all T+2 padded rows in ONE strided DMA, then
+        if pipelined:
+            slot = jax.lax.rem(idx, 2)
+
+            @pl.when(idx == 0)
+            def _():
+                fetch(idx, slot, sem_in, xt_hbm, raw).start()
+
+            @pl.when(idx < nprog - 1)
+            def _():
+                fetch(idx + 1, jax.lax.rem(idx + 1, 2), sem_in,
+                      xt_hbm, raw).start()
+
+            fetch(idx, slot, sem_in, xt_hbm, raw).wait()
+        else:
+            slot = 0
+            cp = fetch(idx, slot, sem_in, xt_hbm, raw)
+            cp.start()
+            cp.wait()
+
         # transpose [Wc+2, C, B] -> [C, Wc+2, B] per row ((T+2)(Wc+2)
         # [C, B] tile stores — VMEM-bandwidth work)
-        cp = pltpu.make_async_copy(
-            xt_hbm.at[pl.ds(r0, t + 2), pl.ds(c0, wc + 2)], raw, sem_in)
-        cp.start()
-        cp.wait()
         for rr in range(t + 2):
             for j in range(wc + 2):
-                xts[rr, :, j, :] = raw[rr, j]
+                xts[rr, :, j, :] = raw[slot, rr, j]
 
         scale = aff_ref[0].astype(jnp.float32)          # [F, 1]
         shift = aff_ref[1].astype(jnp.float32)
 
+        def out_copy(rr, a):
+            return pltpu.make_async_copy(
+                stage.at[a], out_hbm.at[2 * (r0 + rr) + a, pl.ds(c0, wc)],
+                sem_out.at[a])
+
         for rr in range(t):
             for a in (0, 1):
+                if pipelined and rr > 0:
+                    # the previous DMA out of stage[a] must land before the
+                    # slot is overwritten (usually already has)
+                    out_copy(rr - 1, a).wait()
                 for bcol in (0, 1):
                     acc = jnp.zeros((f, n), jnp.float32)
                     for p in (0, 1):
@@ -110,12 +152,14 @@ def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int):
                     for j in range(wc):
                         stage[a, j, bcol, :, :] = g[:, j * b:(j + 1) * b]
                 # one contiguous DMA per output row (both col parities)
-                cp = pltpu.make_async_copy(
-                    stage.at[a],
-                    out_hbm.at[2 * (r0 + rr) + a, pl.ds(c0, wc)],
-                    sem_out)
+                cp = out_copy(rr, a)
                 cp.start()
-                cp.wait()
+                if not pipelined:
+                    cp.wait()
+        if pipelined:
+            # drain before the next program reuses the stage slots
+            out_copy(t - 1, 0).wait()
+            out_copy(t - 1, 1).wait()
 
     return kernel
 
@@ -123,7 +167,8 @@ def _make_kernel(t: int, wc: int, h: int, w: int, c: int, f: int, b: int):
 def upconv_bn_glu_bm(x: jnp.ndarray, kernel: jnp.ndarray,
                      scale: jnp.ndarray, shift: jnp.ndarray,
                      interpret: bool = False,
-                     chunks: tuple | None = None) -> jnp.ndarray:
+                     chunks: tuple | None = None,
+                     pipelined: bool | None = None) -> jnp.ndarray:
     """glu(bn_affine(conv3x3(nearest_up2(x), kernel))), batch-minor layout.
 
     Args:
@@ -131,15 +176,22 @@ def upconv_bn_glu_bm(x: jnp.ndarray, kernel: jnp.ndarray,
          lanes carry the batch — models/generator.py gates the dispatch);
       kernel: [3, 3, C, F] (F even; GLU halves it);
       scale/shift: [F] folded eval BatchNorm affine;
-      chunks: optional (T, Wc) override for tests.
+      chunks: optional (T, Wc) override for tests;
+      pipelined: software-pipeline the input/output DMAs (default: the
+        ``T2IGAN_BM_PIPE=1`` env A/B switch).
     Returns: [B, 2H, 2W, F//2].
     """
+    import os
+
     b, h, w, c = x.shape
     f = kernel.shape[-1]
     fh = f // 2
     assert b % 8 == 0 and f % 2 == 0, (b, f)
     t, wc = chunks if chunks is not None else _pick_chunks(h, w)
     assert h % t == 0 and w % wc == 0, (h, w, t, wc)
+    if pipelined is None:
+        pipelined = os.environ.get("T2IGAN_BM_PIPE", "0") == "1"
+    nslots = 2 if pipelined else 1
     dtype = x.dtype
 
     # batch-minor boundary: bytes of [B,H,W,C]@{0,3,2,1} == row-major
@@ -154,7 +206,7 @@ def upconv_bn_glu_bm(x: jnp.ndarray, kernel: jnp.ndarray,
 
     grid = (h // t, w // wc)
     out = pl.pallas_call(
-        _make_kernel(t, wc, h, w, c, f, b),
+        _make_kernel(t, wc, h, w, c, f, b, pipelined),
         out_shape=jax.ShapeDtypeStruct((2 * h, w, 2, fh, b), dtype),
         grid=grid,
         in_specs=[
@@ -168,11 +220,11 @@ def upconv_bn_glu_bm(x: jnp.ndarray, kernel: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((t + 2, wc + 2, c, b), dtype),
+            pltpu.VMEM((nslots, t + 2, wc + 2, c, b), dtype),
             pltpu.VMEM((t + 2, c, wc + 2, b), dtype),
             pltpu.VMEM((2, wc, 2, fh, b), dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((nslots,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),

@@ -174,3 +174,21 @@ def test_upconv_bm_production_dims(rng):
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(_naive(x, k, scale, shift)),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("chunks", [None, (4, 8)])
+def test_upconv_bm_pipelined_matches_simple(rng, chunks):
+    """The software-pipelined DMA schedule (T2IGAN_BM_PIPE=1) is exact."""
+    from t2igan.ops.pallas.upconv_bm import upconv_bn_glu_bm
+
+    b, h, w, c, f = 8, 16, 16, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    k = jnp.asarray(
+        0.1 * rng.standard_normal((3, 3, c, f)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, f).astype(np.float32))
+    shift = jnp.asarray(0.1 * rng.standard_normal(f).astype(np.float32))
+    ref = _naive(x, k, scale, shift)
+    got = upconv_bn_glu_bm(x, k, scale, shift, interpret=True,
+                           chunks=chunks, pipelined=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -39,4 +39,7 @@ T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_LAYOUT_PIN=1 \
 echo "=== E5. geneval UPBLOCK=bm (batch-minor fused upconv kernel) $(date)" >> "$log"
 T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_UPBLOCK=bm \
   timeout 2700 python bench.py --mode geneval --batch 128 --iters 20 >> "$log" 2>&1
+echo "=== E6. geneval UPBLOCK=bm + BM_PIPE=1 (pipelined DMA schedule) $(date)" >> "$log"
+T2IGAN_BENCH_NO_SUPERVISE=1 T2IGAN_UPBLOCK=bm T2IGAN_BM_PIPE=1 \
+  timeout 2700 python bench.py --mode geneval --batch 128 --iters 20 >> "$log" 2>&1
 echo "=== queue EXTRA done $(date)" >> "$log"
