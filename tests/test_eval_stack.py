@@ -150,6 +150,7 @@ def test_inception_score_math(rng):
     np.testing.assert_allclose(std, np.std(scores), rtol=1e-6)
 
 
+@pytest.mark.slow  # jits the CLIP rank fn end-to-end: ~30s
 def test_rprecision_plumbing(rng):
     from t2igan.evaluation.rprecision import (bootstrap_r_precision,
                                               make_rank_fn)

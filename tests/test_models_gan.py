@@ -119,6 +119,7 @@ def test_generator_pyramid_shapes(rng):
         assert np.isfinite(v).all()
 
 
+@pytest.mark.slow  # full G forward with attention maps: ~30s compile
 def test_generator_memory_attention_masks_padding(rng):
     """Padding word slots must receive ~zero memory attention."""
     model = GNet(**SMALL)

@@ -158,6 +158,7 @@ def test_to_rgb_glu_grads_match_naive(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # two full GNet applies: ~28s
 def test_gnet_glu_rgb_flag_equivalence(rng, monkeypatch):
     """T2IGAN_RGB_KERNEL=glu reroutes the final eval stage through the
     folded RGB kernel + pre-GLU tail; same param tree, same output (CPU

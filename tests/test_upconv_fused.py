@@ -78,6 +78,8 @@ def test_upblock_pallas_variant_train_mode_unchanged(rng, monkeypatch):
 # batch-minor variant (ops/pallas/upconv_bm.py)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # interpret-mode minutes; fast bm coverage lives in
+                   # test_upblock_bm_variant_matches_naive
 @pytest.mark.parametrize("shape,chunks", [
     ((8, 8, 8, 16, 8), None),        # one program
     ((8, 16, 16, 8, 8), (4, 8)),     # multi row + col chunks
@@ -100,6 +102,7 @@ def test_upconv_bm_matches_naive(rng, shape, chunks):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_upconv_bm_bf16(rng):
     """bf16 inputs accumulate in f32 — matches the f32 reference within
     bf16 rounding."""
@@ -176,6 +179,7 @@ def test_upconv_bm_production_dims(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunks", [None, (4, 8)])
 def test_upconv_bm_pipelined_matches_simple(rng, chunks):
     """The software-pipelined DMA schedule (T2IGAN_BM_PIPE=1) is exact."""
