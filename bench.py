@@ -46,6 +46,10 @@ def parse_args():
                             "cost", "warm"],
                    default="geneval")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="bf16")
+    p.add_argument("--trace", default="",
+                   help="capture a jax.profiler trace of ~3 timed "
+                        "iterations into this directory (gen/geneval "
+                        "modes; decode with tools/trace_decode.py)")
     return p.parse_args()
 
 
@@ -266,6 +270,13 @@ def bench_gen(args, with_eval: bool = False):
 
     for _ in range(args.warmup):
         run().block_until_ready()
+    if getattr(args, "trace", ""):
+        import jax.profiler
+        jax.profiler.start_trace(args.trace)
+        for _ in range(3):
+            run().block_until_ready()
+        jax.profiler.stop_trace()
+        print(f"bench: trace written to {args.trace}", flush=True)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = run()

@@ -66,6 +66,11 @@ class TrainConfig:
     NET_E: str = ""
     B_NET_D: bool = True
 
+    # TPU addition (not part of the reference YAML surface): cap on DAMSM
+    # validation batches per epoch for smoke runs.  0 = the full validation
+    # split, matching the reference's evaluate() (pretrain_DAMSM.py:273-344).
+    EVAL_MAX_BATCHES: int = 0
+
     SMOOTH: SmoothConfig = field(default_factory=SmoothConfig)
 
 
@@ -81,7 +86,7 @@ class GanConfig:
     # TPU additions (not part of the reference YAML surface; defaults keep
     # the reference YAMLs parsing unchanged).  UPBLOCK selects the
     # output-equivalent computation of upsample+conv in the generator —
-    # "dilated" (fastest on TPU), "naive", "subpixel", "pallas"; see
+    # "dilated" (fastest on TPU), "naive", "subpixel"; see
     # models/generator.py::UpBlock.  The T2IGAN_UPBLOCK env var remains as
     # an explicit A/B override only.
     UPBLOCK: str = "dilated"

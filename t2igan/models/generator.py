@@ -151,6 +151,14 @@ class UpBlock(nn.Module):
       interleave, despite 2.25x fewer FLOPs.  Kept as a documented negative
       result.
 
+    Two further Pallas variants were built, measured as full-graph losses,
+    and RETIRED (docs/PERFORMANCE.md rounds 2-4): ``pallas`` (row-major
+    fused upconv+BN+GLU; 1513 vs 1724 imgs/sec gen-only) and ``bm``
+    (batch-minor, reading XLA's native activation layout; 1379.9 plain /
+    1432.7 DMA-pipelined vs 1437.5 default gen+eval).  The fused stage-tail
+    kernel (ops/pallas/reschain.py, ``GAN.FUSED_TAIL``) remains the one
+    documented-negative kernel of this family.
+
     The variant comes from the config (``GAN.UPBLOCK``) via the module
     attribute so the compiled graph is reproducible from the YAML alone;
     the ``T2IGAN_UPBLOCK`` env var remains as an explicit A/B override."""
@@ -172,81 +180,7 @@ class UpBlock(nn.Module):
             return kernel, scale, shift
 
         variant = os.environ.get("T2IGAN_UPBLOCK", self.variant)
-        if variant == "pallas" and pre_glu:
-            variant = self.variant if self.variant != "pallas" else "dilated"
-        if variant == "pallas" and not train:
-            # Fused eval path: upsample+conv+BN(running stats)+GLU in one
-            # Pallas kernel (ops/pallas/upconv.py).  The BN affine is folded
-            # by probing the shared BatchNorm child at 0 and 1 — exact,
-            # since eval-mode BN is affine per channel.  Platform dispatch
-            # happens at LOWERING time (host-CPU init traces of the same
-            # module must not lower the TPU kernel): non-TPU platforms take
-            # an equivalent jnp form.
-            from t2igan.ops.pallas.upconv import upconv_bn_glu_fused
-
-            f2 = self.features * 2
-            kernel = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
-            bn = BatchNorm(self.dtype)
-            zero = bn(jnp.zeros((1, 1, 1, f2), jnp.float32), False)
-            one = bn(jnp.ones((1, 1, 1, f2), jnp.float32), False)
-            shift = zero.reshape(f2).astype(jnp.float32)
-            scale = (one - zero).reshape(f2).astype(jnp.float32)
-            xc = x.astype(self.dtype)
-            kc = kernel.astype(self.dtype)
-
-            def fused(x, k):
-                return upconv_bn_glu_fused(x, k, scale, shift)
-
-            def jnp_form(x, k):
-                y = jax.lax.conv_general_dilated(
-                    upsample_nearest_2x(x), k, (1, 1), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                y = y.astype(jnp.float32) * scale + shift
-                return glu(y).astype(x.dtype)
-
-            # VMEM gate: the phase-kernel tensor (16*C*F2 elements) plus the
-            # padded input image must fit comfortably under the ~16 MB
-            # scoped-VMEM limit; the wide early init-stage layers (e.g.
-            # 1024->1024 at 4^2, 33 MB of weights alone) take the jnp form —
-            # they are a negligible share of generator time anyway.
-            bpe = jnp.dtype(self.dtype).itemsize
-            _, h_in, w_in, c_in = x.shape
-            vmem_est = (16 * c_in * f2 + (h_in + 2) * (w_in + 2) * c_in) * bpe
-            if vmem_est > 8 * 1024 * 1024:
-                return jnp_form(xc, kc)
-            return jax.lax.platform_dependent(xc, kc, tpu=fused, axon=fused,
-                                              default=jnp_form)
-        if variant == "bm" and not train and not pre_glu:
-            # Batch-minor fused eval path (ops/pallas/upconv_bm.py): the
-            # kernel reads XLA's native batch-minor activation layout
-            # through a transposed view (boundary transposes become layout
-            # bitcasts), so unlike the row-major 'pallas' variant it pays
-            # no 537 MB layout copies at the custom-call edges.  Gated to
-            # the refinement-stage shapes it is built for: lanes carry the
-            # batch (B % 128 == 0) and C small enough that the row buffers
-            # fit VMEM; everything else takes the equivalent jnp form.
-            from t2igan.ops.pallas.upconv_bm import upconv_bn_glu_bm
-
-            f2 = self.features * 2
-            kernel = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
-            scale, shift = _bn_affine(BatchNorm(self.dtype), f2)
-            xc = x.astype(self.dtype)
-            kc = kernel.astype(self.dtype)
-            bdim, h_in, w_in, c_in = x.shape
-
-            def fused(x_, k):
-                return upconv_bn_glu_bm(x_, k, scale, shift)
-
-            def jnp_form(x_, k):
-                y = conv3x3_on_up2x_dilated(x_, k)
-                y = y.astype(jnp.float32) * scale + shift
-                return glu(y).astype(x_.dtype)
-
-            if bdim % 128 == 0 and c_in <= 128 and f2 <= 256:
-                return jax.lax.platform_dependent(
-                    xc, kc, tpu=fused, axon=fused, default=jnp_form)
-            return jnp_form(xc, kc)
-        if variant == "naive" or variant == "pallas":
+        if variant == "naive":
             x = upsample_nearest_2x(x)
             x = nn.Conv(self.features * 2, (3, 3), padding=1, use_bias=False,
                         kernel_init=ortho(), dtype=self.dtype,
@@ -429,17 +363,11 @@ class NextStageG(nn.Module):
         if not use_fused_tail(self.fused_tail, train):
             for i in range(self.num_residual):
                 h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
-            if (not train and hh >= 128 and ww % 8 == 0 and c % 128 == 0
-                    and os.environ.get("T2IGAN_LAYOUT_PIN", "0") == "1"):
-                # A/B lever over XLA's layout assignment: pin the stage-3
-                # upconv's input row-major at a custom-call boundary (the
-                # in-graph batch-minor form of that conv costs +7.3 ms over
-                # its row-major form — ops/pallas/identity.py).
-                from t2igan.ops.pallas.identity import layout_pin
-
-                h_new = jax.lax.platform_dependent(
-                    h_new, tpu=layout_pin, axon=layout_pin,
-                    default=lambda x: x)
+            # (A retired A/B lever once lived here: T2IGAN_LAYOUT_PIN pinned
+            # the stage-3 upconv's input row-major at a custom-call boundary.
+            # Measured a 2.4% full-graph LOSS — the boundary copies cost more
+            # than the batch-minor conv form wastes; XLA's layout assignment
+            # stands.  docs/PERFORMANCE.md round 4.)
             up = UpBlock(self.ngf, self.dtype, self.upblock)
             flag = os.environ.get("T2IGAN_RGB_KERNEL", "0")
             if (rgb_kernel is not None and flag == "glu" and not train
@@ -509,11 +437,14 @@ class GetImageG(nn.Module):
     """Feature map -> RGB in [-1, 1] (model.py:536-547).
 
     The 3-channel-output conv is the worst MXU fit in the graph (~1% MFU
-    through XLA).  On TPU the production 256^2 head (C=64) dispatches BY
-    DEFAULT to the paired-pixel Pallas kernel (ops/pallas/to_rgb.py::
-    to_rgb_paired — two adjacent pixels per 128-lane row, so the DMA is
-    lane-aligned with zero host-side copies); ``T2IGAN_RGB_KERNEL=0``
-    forces the plain XLA conv, ``=1`` the channels-major kernel for
+    through XLA) — but the round-2 trace shows XLA fuses the GLU into its
+    fetch, so the in-graph comparator is a 4.0 ms fused op, not the 6.8 ms
+    isolated conv (docs/PERFORMANCE.md "layout economics").  DEFAULT is the
+    plain XLA conv (``T2IGAN_RGB_KERNEL=0``).  A/B alternatives pending
+    their full-graph on-chip verdicts: ``=paired`` the paired-pixel Pallas
+    kernel for the production C=64 head (two adjacent pixels per 128-lane
+    row, lane-aligned DMA), ``=glu`` the GLU-fused head (consumes the
+    pre-GLU 2C=128 tensor), ``=1`` the channels-major kernel for
     128-lane-aligned C (its DMA constraint — see the kernel docstring)."""
 
     dtype: Any = jnp.float32
@@ -527,8 +458,6 @@ class GetImageG(nn.Module):
             # consumed by the final stage's fused tail (the [B, 2H, 2W, C]
             # feature map then never materializes; ops/pallas/reschain.py).
             return _Conv3x3Param(3, name="Conv_0")(h_code.shape[-1])
-        # Default flips to "paired" once the kernel's Mosaic lowering is
-        # verified on the real chip (tunnel was down when this landed).
         flag = os.environ.get("T2IGAN_RGB_KERNEL", "0")
         b, hh, ww, c = h_code.shape
         if (flag == "paired" and 2 * c == 128 and ww % 2 == 0

@@ -30,7 +30,7 @@ full pre-GLU conv output, so the training path keeps the XLA form (see
 ``t2igan/models/generator.py``).  No VJP — callers never differentiate
 through eval-mode sampling.
 
-Lessons applied from ops/pallas/upconv.py: single-buffered revisited image
+Lessons applied from the retired fused-upconv kernel: single-buffered revisited image
 block (one fetch per batch image), constant-index weight blocks, chunk
 matmuls >= ~2048 rows, (8, 128)-aligned or full-dim block shapes.
 """
@@ -44,9 +44,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from t2igan.ops.pallas.upconv import _phase_kernels
-
 Array = jnp.ndarray
+
+# Tap sets of the subpixel decomposition of conv3x3-over-nearest-2x: output
+# row 2i+a reads low-res rows (i-1+a+p) for p in {0, 1}, i.e. padded rows
+# (i+a+p), with weights row a=0: [K0, K1+K2], row a=1: [K0+K1, K2] (same for
+# columns).  (Moved here from the retired ops/pallas/upconv.py when the
+# standalone fused-upconv kernels measured as losses on chip — see
+# docs/PERFORMANCE.md rounds 2-4.)
+_PHASE_TAPS = (((0,), (1, 2)), ((0, 1), (2,)))
+
+
+def _phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, C, F] conv kernel -> [4(phase), 2, 2, C, F] summed-tap
+    kernels, phase index = 2*a + b."""
+    out = []
+    for a in (0, 1):
+        for b in (0, 1):
+            rows = []
+            for us in _PHASE_TAPS[a]:
+                row = [sum(kernel[u, v] for u in us for v in vs)
+                       for vs in _PHASE_TAPS[b]]
+                rows.append(jnp.stack(row))
+            out.append(jnp.stack(rows))
+    return jnp.stack(out)  # [4, 2, 2, C, F]
 
 
 def _round_up16(x: int) -> int:

@@ -157,11 +157,16 @@ class DamsmTrainer:
         self.ckpt.wait()
         return self.state
 
-    def evaluate(self, max_batches: int = 50):
-        """Validation losses (pretrain_DAMSM.evaluate, :273-344)."""
+    def evaluate(self, max_batches: Optional[int] = None):
+        """Validation losses over the FULL validation split by default,
+        matching the reference (pretrain_DAMSM.evaluate, :273-344).  A cap
+        for smoke runs comes from ``cfg.TRAIN.EVAL_MAX_BATCHES`` (0 = no
+        cap) or the explicit ``max_batches`` argument."""
+        if max_batches is None:
+            max_batches = self.cfg.TRAIN.EVAL_MAX_BATCHES or None
         s_total, w_total, n = 0.0, 0.0, 0
         for i, batch in enumerate(self.val_loader):
-            if i >= max_batches:
+            if max_batches is not None and i >= max_batches:
                 break
             _, m = self.eval_loss_fn(self.state.clip_params,
                                      self._device_batch(batch))

@@ -195,22 +195,41 @@ class CondGanTrainer:
         return self.state
 
     def _save_sample_grid(self, tag):
-        """Fixed-noise sample sheet (the role of save_img_results,
-        trainer.py:207-247), generated from the EMA weights.  Uses the
-        loader's side-effect-free probe batch so snapshot cadence never
-        perturbs the training shuffle order."""
+        """Fixed-noise sample sheet + attention-map overlays (the role of
+        save_img_results, trainer.py:207-247 -> miscc/utils.py:90-170),
+        generated from the EMA weights.  Uses the loader's side-effect-free
+        probe batch so snapshot cadence never perturbs the training shuffle
+        order.  The reference's helper is broken (undefined names,
+        miscc/utils.py:101,147); this renders the intended artifact with
+        utils.viz.attention_grid."""
         batch = self.loader.peek()
         if batch is None:
             return
         b = batch.input_ids.shape[0]
         z = jax.random.normal(jax.random.PRNGKey(42), (b, self.cfg.GAN.Z_DIM))
         eps = jnp.zeros((b, self.cfg.GAN.CONDITION_DIM))
-        fakes, _ = self.sampler(self.clip_params, self.state.g_ema_params,
-                                self.state.g_batch_stats,
-                                jnp.asarray(batch.input_ids),
-                                jnp.asarray(batch.attention_mask), z, eps)
+        if self._sampler_attn is None:
+            self._sampler_attn = make_sampler(self.cfg, self.clip_model,
+                                              self.gen_model,
+                                              return_attn=True)
+        fakes, atts = self._sampler_attn(
+            self.clip_params, self.state.g_ema_params,
+            self.state.g_batch_stats, jnp.asarray(batch.input_ids),
+            jnp.asarray(batch.attention_mask), z, eps)
         save_image_grid(tanh_to01(np.asarray(fakes[-1])),
                         os.path.join(self.image_dir, f"G_{tag}.png"))
+        if atts:
+            from PIL import Image
+            from t2igan.utils.viz import attention_grid
+            n = min(b, 8)  # overlay sheet stays readable
+            labels = [[self.tokenizer.decode([t]).strip() or "·"
+                       for t in row[1:9]]
+                      for row in np.asarray(batch.input_ids[:n])]
+            grid = attention_grid(
+                tanh_to01(np.asarray(fakes[-1][:n])),
+                np.asarray(atts[-1][:n]), labels)
+            Image.fromarray(grid).save(
+                os.path.join(self.image_dir, f"G_{tag}_attn.png"))
 
     # ------------------------------------------------------------------
     # evaluation sweep: generation + R-precision (trainer.py:485-613)

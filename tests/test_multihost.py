@@ -92,6 +92,83 @@ class TestLoaderHostPartition:
 _emulate_global = emulated_global_batch
 
 
+@pytest.mark.slow  # jits a full (tiny) GAN train step over the 8-device mesh
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
+def test_gan_step_uneven_4host_assembly_matches_single_host():
+    """The full adversarial step over 4 emulated hosts x 2 devices with an
+    UNEVEN epoch remainder equals the single-host run (PARITY.md D11).
+
+    34 samples over 4 hosts: ``_host_slice`` gives each host a contiguous
+    slab of 8 and drops the last 2 of the permutation on every host
+    identically; the assembled 4x8 global batch is therefore the first 32
+    samples of the single-host epoch, and the jitted GAN step must produce
+    identical metrics and parameters from either construction."""
+    from t2igan.models.factory import build_discriminators, build_generator
+    from t2igan.train.state import gan_optimizers, init_gan_state
+    from t2igan.train.steps import make_gan_step
+    from t2igan.models.clip import ClipConfig, ClipTowerConfig
+    from t2igan.models.clip import ClipWithRegionHead
+    from t2igan.parallel.mesh import replicate
+
+    tiny_clip = ClipConfig(
+        vocab_size=512, max_positions=16, eos_token_id=511,
+        projection_dim=32, image_size=32, patch_size=16, region_dim=32,
+        text=ClipTowerConfig(32, 2, 2, 64),
+        vision=ClipTowerConfig(48, 2, 2, 96))
+    cfg = cfg_replace(
+        Config(),
+        TREE={"BASE_SIZE": 64, "BRANCH_NUM": 2},
+        GAN={"GF_DIM": 8, "DF_DIM": 4, "Z_DIM": 16, "CONDITION_DIM": 16,
+             "R_NUM": 1},
+        TEXT={"EMBEDDING_DIM": 32, "WORDS_NUM": 16},
+        TRAIN={"BATCH_SIZE": 8})
+
+    def batch_arrays(b):
+        return {"images": [np.asarray(x) for x in b.images],
+                "ids": b.input_ids, "mask": b.attention_mask,
+                "ids_2": b.input_ids_2, "mask_2": b.attention_mask_2,
+                "class_ids": b.class_ids}
+
+    ds = SyntheticDataset(cfg, size=34)
+    tok = ClipTokenizer.fallback()
+    host_loaders = [DataLoader(ds, tok, batch_size=8, words_num=16, seed=7,
+                               host_index=i, host_count=4) for i in range(4)]
+    single = DataLoader(ds, tok, batch_size=32, words_num=16, seed=7,
+                        host_index=0, host_count=1)
+    local = [batch_arrays(next(iter(ld))) for ld in host_loaders]
+    full = batch_arrays(next(iter(single)))
+
+    mesh = make_mesh()  # 8 devices = 4 hosts x 2 devices each
+    assembled = _emulate_global(mesh, local)
+    reference = shard_batch(mesh, full)
+    # the assembly itself is bitwise the single-host shard
+    np.testing.assert_array_equal(np.asarray(assembled["ids"]),
+                                  np.asarray(reference["ids"]))
+    np.testing.assert_array_equal(np.asarray(assembled["images"][1]),
+                                  np.asarray(reference["images"][1]))
+
+    clip_model = ClipWithRegionHead(tiny_clip)
+    clip_vars = clip_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), jnp.int32))
+    gen = build_generator(cfg)
+    d_models = build_discriminators(cfg)
+    g_tx, d_tx = gan_optimizers(cfg)
+    state = init_gan_state(cfg, gen, d_models, jax.random.PRNGKey(1))
+    step = jax.jit(make_gan_step(cfg, clip_model, gen, d_models, g_tx, d_tx))
+
+    s_a, m_a = step(replicate(mesh, state), replicate(mesh, clip_vars["params"]),
+                    assembled, jax.random.PRNGKey(3))
+    s_b, m_b = step(replicate(mesh, state), replicate(mesh, clip_vars["params"]),
+                    reference, jax.random.PRNGKey(3))
+    for k in ("g_loss", "d_loss0", "d_loss1", "w_loss"):
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]),
+                                   rtol=0, atol=0)
+    leaf_a = np.asarray(s_a.g_params["CANet_0"]["Dense_0"]["kernel"])
+    leaf_b = np.asarray(s_b.g_params["CANet_0"]["Dense_0"]["kernel"])
+    np.testing.assert_array_equal(leaf_a, leaf_b)
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
 class TestGlobalAssembly:
     def test_emulated_two_host_assembly_matches_single_host(self):

@@ -65,28 +65,3 @@ def test_fused_odd_shapes(rng):
     fused = attention_match_scores_fused(words, regions, mask, G1, G2, True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
-
-
-# ---------------------------------------------------------------------------
-# layout_pin identity kernel (ops/pallas/identity.py)
-# ---------------------------------------------------------------------------
-
-def test_layout_pin_is_identity(rng):
-    from t2igan.ops.pallas.identity import layout_pin
-
-    x = jnp.asarray(rng.standard_normal((2, 16, 8, 128)).astype(np.float32))
-    np.testing.assert_array_equal(np.asarray(layout_pin(x, interpret=True)),
-                                  np.asarray(x))
-    xb = x.astype(jnp.bfloat16)
-    np.testing.assert_array_equal(
-        np.asarray(layout_pin(xb, interpret=True)).astype(np.float32),
-        np.asarray(xb).astype(np.float32))
-
-
-def test_layout_pin_odd_height(rng):
-    """H not a multiple of 8 falls back to a single whole-H row block."""
-    from t2igan.ops.pallas.identity import layout_pin
-
-    x = jnp.asarray(rng.standard_normal((2, 5, 8, 128)).astype(np.float32))
-    np.testing.assert_array_equal(np.asarray(layout_pin(x, interpret=True)),
-                                  np.asarray(x))

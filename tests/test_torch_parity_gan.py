@@ -126,8 +126,12 @@ def _run_torch_g(gnet_t, z, sent, words, eps):
                       None, None)
 
 
-@pytest.mark.slow  # full-graph torch-oracle apply (VERDICT r2 weak #3)
-@pytest.mark.parametrize("train_mode", [True, False])
+# The eval-mode case stays in the fast tier so the default run keeps one
+# full-generator torch-oracle check (ADVICE r3); only the train-mode case
+# (batch-stats mutation doubles the work) is slow.
+@pytest.mark.parametrize(
+    "train_mode",
+    [pytest.param(True, marks=pytest.mark.slow), False])
 def test_generator_forward_parity(ref, rng, train_mode):
     torch.manual_seed(0)
     gnet_t = ref.G_NET()

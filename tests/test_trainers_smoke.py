@@ -68,6 +68,9 @@ def test_gan_trainer_epoch_sampling_and_example(tmp_path):
     state = trainer.train(max_epochs=1)
     assert int(state.step) == 2
     assert glob.glob(os.path.join(out, "Image", "G_*.png"))
+    # training snapshots include the attention-map overlay sheet
+    # (save_img_results role, trainer.py:207-247)
+    assert glob.glob(os.path.join(out, "Image", "G_*_attn.png"))
 
     # sampling: tiny sweep with 5 mis-captions and an 8-query target
     mean, std = trainer.sampling("valid", num_rounds=1, r_target=8,
