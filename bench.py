@@ -71,10 +71,10 @@ def _supervise() -> int:
 
     plan = [
         ({}, float(os.environ.get("T2IGAN_BENCH_ATTEMPT1_S", "1800"))),
-        # Attempt 2 reverts every optional fast path (UpBlock dilated form,
-        # paired RGB kernel) so a compile blowup or a kernel lowering error
-        # still yields a number inside the driver's window.
-        ({"T2IGAN_UPBLOCK": "naive", "T2IGAN_RGB_KERNEL": "0"},
+        # Attempt 2 reverts the optional fast path (UpBlock dilated form)
+        # so a compile blowup still yields a number inside the driver's
+        # window.
+        ({"T2IGAN_UPBLOCK": "naive"},
          float(os.environ.get("T2IGAN_BENCH_ATTEMPT2_S", "1200"))),
     ]
     purged = False

@@ -96,6 +96,13 @@ class GanConfig:
     # first on-chip schedule measured SLOWER than XLA's conv chain
     # (644 vs 1368 imgs/sec gen+eval) — see docs/PERFORMANCE.md round 3.
     FUSED_TAIL: bool = False
+    # Compute the FINAL stage's eval tail (upsample-conv + BN + GLU + RGB
+    # head + tanh) in 2x2 subpixel phase space — two folded 2x2 convs at
+    # LOW resolution (ops/image.py::up2x_bn_glu_rgb_phased): 1/4 the MXU
+    # FLOPs of the dilated upconv (which the round-4 trace shows XLA runs
+    # dense) and the [B, 2H, 2W, 2*GF] pre-GLU tensor never exists in HBM.
+    # T2IGAN_PHASED_TAIL=0/1 is the env A/B override.
+    PHASED_TAIL: bool = False
 
 
 @_frozen

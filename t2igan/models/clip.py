@@ -119,17 +119,27 @@ class MultiHeadAttention(nn.Module):
         v = qkv[..., 2, :].reshape(b, l, h, hd)
         import os
 
-        if os.environ.get("T2IGAN_FLASH_ATTN", "0") == "1":
-            out = _flash_mha(q, k, v, bias, self.dtype)
-        else:
+        def einsum_mha(q, k, v):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
             if bias is not None:
                 logits = logits + bias
             weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             weights = weights.astype(self.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                             preferred_element_type=jnp.float32)
+            return jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                              preferred_element_type=jnp.float32)
+
+        if os.environ.get("T2IGAN_FLASH_ATTN", "0") == "1":
+            # platform_dependent so host-side init (which traces and lowers
+            # for the CPU device, utils/hostinit.py) never lowers the
+            # Pallas kernel — only the TPU executable takes the flash path.
+            out = jax.lax.platform_dependent(
+                q, k, v,
+                tpu=lambda q, k, v: _flash_mha(q, k, v, bias, self.dtype),
+                axon=lambda q, k, v: _flash_mha(q, k, v, bias, self.dtype),
+                default=einsum_mha)
+        else:
+            out = einsum_mha(q, k, v)
         out = out.reshape(b, l, d).astype(self.dtype)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 

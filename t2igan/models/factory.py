@@ -26,6 +26,11 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         logging.getLogger("t2igan").warning(
             "UpBlock variant overridden by T2IGAN_UPBLOCK=%s "
             "(config GAN.UPBLOCK=%s)", env, cfg.GAN.UPBLOCK)
+    env = os.environ.get("T2IGAN_PHASED_TAIL")
+    if env is not None and (env == "1") != cfg.GAN.PHASED_TAIL:
+        logging.getLogger("t2igan").warning(
+            "Phased eval tail overridden by T2IGAN_PHASED_TAIL=%s "
+            "(config GAN.PHASED_TAIL=%s)", env, cfg.GAN.PHASED_TAIL)
     return cls(
         gf_dim=cfg.GAN.GF_DIM,
         nef=cfg.TEXT.EMBEDDING_DIM,
@@ -35,6 +40,7 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         dtype=dtype,
         upblock=cfg.GAN.UPBLOCK,
         fused_tail=cfg.GAN.FUSED_TAIL,
+        phased_tail=cfg.GAN.PHASED_TAIL,
     )
 
 

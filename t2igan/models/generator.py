@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from t2igan.ops.attention import memory_read
 from t2igan.ops.image import (conv3x3_on_up2x, conv3x3_on_up2x_dilated,
-                              upsample_nearest_2x)
+                              up2x_bn_glu_rgb_phased, upsample_nearest_2x)
 
 Array = jnp.ndarray
 
@@ -53,13 +53,16 @@ def glu(x: Array, axis: int = -1) -> Array:
     return a * jax.nn.sigmoid(b)
 
 
-def use_glu_rgb_head(train: bool) -> bool:
-    """Trace-time decision for the GLU-fused RGB head (``T2IGAN_RGB_KERNEL=
-    glu``): the final stage folds its RGB conv kernel and the stage tail
-    feeds the pre-GLU UpBlock output to ops/pallas/to_rgb.py::to_rgb_glu."""
+def use_phased_tail(flag: bool, train: bool) -> bool:
+    """Trace-time decision for the phase-space eval tail (config
+    ``GAN.PHASED_TAIL`` with the ``T2IGAN_PHASED_TAIL`` env A/B override):
+    the final stage computes upconv + BN + GLU + RGB head as two folded
+    2x2 convs at LOW resolution (ops/image.py::up2x_bn_glu_rgb_phased)."""
     import os
 
-    return not train and os.environ.get("T2IGAN_RGB_KERNEL", "0") == "glu"
+    return (not train
+            and os.environ.get("T2IGAN_PHASED_TAIL",
+                               "1" if flag else "0") == "1")
 
 
 def use_fused_tail(flag: bool, train: bool) -> bool:
@@ -168,8 +171,7 @@ class UpBlock(nn.Module):
     variant: str = "dilated"
 
     @nn.compact
-    def __call__(self, x, train: bool, fold: bool = False,
-                 pre_glu: bool = False):
+    def __call__(self, x, train: bool, fold: bool = False):
         import os
 
         if fold:
@@ -192,11 +194,6 @@ class UpBlock(nn.Module):
             x = _DilatedUpConv(self.features * 2, self.dtype,
                                name="Conv_0")(x)
         x = BatchNorm(self.dtype)(x, train)
-        if pre_glu:
-            # The GLU-fused RGB head (ops/pallas/to_rgb.py::to_rgb_glu)
-            # consumes the pre-GLU tensor directly — the trace decode shows
-            # that is what XLA keeps in HBM anyway.
-            return x
         return glu(x)
 
 
@@ -298,6 +295,7 @@ class NextStageG(nn.Module):
     dtype: Any = jnp.float32
     upblock: str = "dilated"
     fused_tail: bool = False
+    phased_tail: bool = False
 
     @nn.compact
     def __call__(self, h_code: Array, word_embs: Array,
@@ -357,40 +355,32 @@ class NextStageG(nn.Module):
         intermediate [B, H, W, 2ngf] activations never round-trip HBM,
         which the round-2 device trace showed to be ~half the gen step.
         Training keeps the module chain (BN needs batch statistics)."""
-        import os
-
         b, hh, ww, c = h_new.shape
         if not use_fused_tail(self.fused_tail, train):
             for i in range(self.num_residual):
                 h_new = ResBlock(self.ngf * 2, self.dtype)(h_new, train)
-            # (A retired A/B lever once lived here: T2IGAN_LAYOUT_PIN pinned
-            # the stage-3 upconv's input row-major at a custom-call boundary.
-            # Measured a 2.4% full-graph LOSS — the boundary copies cost more
-            # than the batch-minor conv form wastes; XLA's layout assignment
-            # stands.  docs/PERFORMANCE.md round 4.)
+            if (rgb_kernel is not None
+                    and use_phased_tail(self.phased_tail, train)):
+                # Final stage, eval: the whole tail (upconv + BN + GLU +
+                # RGB head + tanh) runs in 2x2 subpixel phase space — two
+                # folded 2x2 convs at LOW resolution (1/4 the dilated
+                # upconv's MXU FLOPs; the [B, 2H, 2W, 2ngf] pre-GLU tensor
+                # never exists in HBM).  Module creation order matches the
+                # plain path, so the param tree is identical.
+                k_up, up_s, up_b = UpBlock(self.ngf, self.dtype,
+                                           self.upblock)(h_new, train,
+                                                         fold=True)
+                return up2x_bn_glu_rgb_phased(
+                    h_new.astype(self.dtype), k_up.astype(self.dtype),
+                    up_s, up_b, rgb_kernel.astype(self.dtype))
+            # (Two retired A/B levers once lived here, both measured as
+            # full-graph losses — docs/PERFORMANCE.md round 4:
+            # T2IGAN_LAYOUT_PIN (row-major pin before the stage-3 upconv,
+            # −2.4%: the boundary copies cost more than the batch-minor
+            # conv form wastes) and T2IGAN_RGB_KERNEL=glu (Pallas GLU-fused
+            # RGB head, −1.7%).  XLA's layout assignment and its GLU-fused
+            # conv fetch stand as the production forms.)
             up = UpBlock(self.ngf, self.dtype, self.upblock)
-            flag = os.environ.get("T2IGAN_RGB_KERNEL", "0")
-            if (rgb_kernel is not None and flag == "glu" and not train
-                    and 2 * self.ngf == 128 and (2 * ww) % 128 == 0):
-                # Variant B of the RGB head A/B: the stage UpBlock stops at
-                # conv+BN (pre-GLU, 2C=128 lanes) and the Pallas kernel
-                # computes GLU + conv3x3 + tanh in VMEM.
-                from t2igan.ops.pallas.to_rgb import to_rgb_glu
-
-                pre = up(h_new, train, pre_glu=True).astype(self.dtype)
-                rgbk = rgb_kernel.astype(self.dtype)
-
-                def fused(p, k):
-                    return to_rgb_glu(p, k)
-
-                def jnp_form(p, k):
-                    y = jax.lax.conv_general_dilated(
-                        glu(p), k, (1, 1), ((1, 1), (1, 1)),
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                    return jnp.tanh(y)
-
-                return jax.lax.platform_dependent(
-                    pre, rgbk, tpu=fused, axon=fused, default=jnp_form)
             out = up(h_new, train)
             if rgb_kernel is None:
                 return out
@@ -436,73 +426,28 @@ class NextStageG(nn.Module):
 class GetImageG(nn.Module):
     """Feature map -> RGB in [-1, 1] (model.py:536-547).
 
-    The 3-channel-output conv is the worst MXU fit in the graph (~1% MFU
-    through XLA) — but the round-2 trace shows XLA fuses the GLU into its
-    fetch, so the in-graph comparator is a 4.0 ms fused op, not the 6.8 ms
-    isolated conv (docs/PERFORMANCE.md "layout economics").  DEFAULT is the
-    plain XLA conv (``T2IGAN_RGB_KERNEL=0``).  A/B alternatives pending
-    their full-graph on-chip verdicts: ``=paired`` the paired-pixel Pallas
-    kernel for the production C=64 head (two adjacent pixels per 128-lane
-    row, lane-aligned DMA), ``=glu`` the GLU-fused head (consumes the
-    pre-GLU 2C=128 tensor), ``=1`` the channels-major kernel for
-    128-lane-aligned C (its DMA constraint — see the kernel docstring)."""
+    The 3-channel-output conv looks like the worst MXU fit in the graph
+    (~1% MFU through XLA) but is NOT worth a kernel: the round-2 trace
+    shows XLA fuses the GLU into its fetch (4.0 ms in-graph vs 6.8
+    isolated), and all three Pallas replacements measured as full-graph
+    losses on chip in round 4 — channels-major (DMA lane-alignment forces
+    doubled traffic), paired-pixel (1342.5, −6.6%) and GLU-fused (1413.6,
+    −1.7%) vs the 1437.5 XLA default (docs/PERFORMANCE.md round 4).  The
+    kernel family and its ``T2IGAN_RGB_KERNEL`` selector are deleted; the
+    plain XLA conv below is the production form, and the only remaining
+    alternative is the whole-stage fused tail (``GAN.FUSED_TAIL``, the
+    documented-negative reschain kernel) which folds this head via
+    ``fold=True``."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h_code: Array, fold: bool = False):
-        import os
-
         if fold:
             # Declare the same Conv_0/kernel param but return it folded —
             # consumed by the final stage's fused tail (the [B, 2H, 2W, C]
             # feature map then never materializes; ops/pallas/reschain.py).
             return _Conv3x3Param(3, name="Conv_0")(h_code.shape[-1])
-        flag = os.environ.get("T2IGAN_RGB_KERNEL", "0")
-        b, hh, ww, c = h_code.shape
-        if (flag == "paired" and 2 * c == 128 and ww % 2 == 0
-                and (ww // 2) % 128 == 0):
-            from t2igan.ops.pallas.to_rgb import to_rgb_paired
-
-            kernel = _Conv3x3Param(3, name="Conv_0")(c)
-            h_code, kernel = nn.dtypes.promote_dtype(h_code, kernel,
-                                                     dtype=self.dtype)
-
-            def paired(h, k):
-                return to_rgb_paired(h, k)
-
-            def jnp_form(h, k):
-                y = jax.lax.conv_general_dilated(
-                    h, k, (1, 1), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                return jnp.tanh(y)
-
-            return jax.lax.platform_dependent(h_code, kernel, tpu=paired,
-                                              axon=paired, default=jnp_form)
-        if flag == "1" and c % 128 == 0:
-            # Shape gate (advisor finding): the kernel's manual HBM->VMEM
-            # DMA requires a 128-lane-aligned channel slice; for the
-            # production C=64 head the compiled TPU path fails to lower,
-            # so unaligned C falls back to the XLA form.  (The default
-            # path fuses this head into the stage tail instead —
-            # ops/pallas/reschain.py — which has no such constraint.)
-            from t2igan.ops.pallas.to_rgb import to_rgb_fused
-
-            kernel = _Conv3x3Param(3, name="Conv_0")(h_code.shape[-1])
-            h_code, kernel = nn.dtypes.promote_dtype(h_code, kernel,
-                                                     dtype=self.dtype)
-
-            def fused(h, k):
-                return to_rgb_fused(h, k)
-
-            def jnp_form(h, k):
-                y = jax.lax.conv_general_dilated(
-                    h, k, (1, 1), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                return jnp.tanh(y)
-
-            return jax.lax.platform_dependent(h_code, kernel, tpu=fused,
-                                              axon=fused, default=jnp_form)
         x = nn.Conv(3, (3, 3), padding=1, use_bias=False,
                     kernel_init=ortho(), dtype=self.dtype,
                     name="Conv_0")(h_code)
@@ -525,6 +470,7 @@ class GNet(nn.Module):
     dtype: Any = jnp.float32
     upblock: str = "dilated"
     fused_tail: bool = False
+    phased_tail: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -545,15 +491,16 @@ class GNet(nn.Module):
         fake_imgs.append(GetImageG(self.dtype)(h_code))
         for i in range(1, self.branch_num):
             stage = NextStageG(ngf, self.nef, self.num_residual,
-                               self.dtype, self.upblock, self.fused_tail)
+                               self.dtype, self.upblock, self.fused_tail,
+                               self.phased_tail)
             last = i == self.branch_num - 1
             if last and (use_fused_tail(self.fused_tail, train)
-                         or use_glu_rgb_head(train)):
-                # Final stage, eval: fold the RGB head into the stage tail
-                # (fused reschain kernel or the GLU-fused RGB kernel) — the
-                # [B, 2H, 2W, ngf] feature map never materializes (its only
-                # consumer is this head).  Module creation order matches
-                # the plain path, so the param tree is identical.
+                         or use_phased_tail(self.phased_tail, train)):
+                # Final stage, eval: fold the RGB head into the fused stage
+                # tail — the [B, 2H, 2W, ngf] feature map never
+                # materializes (its only consumer is this head).  Module
+                # creation order matches the plain path, so the param tree
+                # is identical.
                 head = GetImageG(self.dtype)
                 rgb_k = head(h_code, fold=True)
                 rgb, attn = stage(h_code, word_embs, pad_mask, train,
@@ -580,6 +527,7 @@ class GDCGan(nn.Module):
     dtype: Any = jnp.float32
     upblock: str = "dilated"
     fused_tail: bool = False
+    phased_tail: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -594,9 +542,11 @@ class GDCGan(nn.Module):
         img = None
         for i in range(1, self.branch_num):
             stage = NextStageG(ngf, self.nef, self.num_residual,
-                               self.dtype, self.upblock, self.fused_tail)
+                               self.dtype, self.upblock, self.fused_tail,
+                               self.phased_tail)
             last = i == self.branch_num - 1
-            if last and use_fused_tail(self.fused_tail, train):
+            if last and (use_fused_tail(self.fused_tail, train)
+                         or use_phased_tail(self.phased_tail, train)):
                 head = GetImageG(self.dtype)
                 rgb_k = head(h_code, fold=True)
                 img, attn = stage(h_code, word_embs, pad_mask, train,

@@ -16,7 +16,6 @@ TPU-first redesign of the reference attention stack
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -113,14 +112,14 @@ def memory_read(query_map: jnp.ndarray,
         entirely in VMEM (see ops/pallas/memory_read.py).
     """
     if not return_attn:
-        # A/B override: the fused custom call wins decisively in the train
-        # step (flash backward), but in the batch-minor eval graph its
-        # row-major boundary forces 2x537MB layout copies at 128^2
-        # (docs/PERFORMANCE.md round 3) — T2IGAN_MEMREAD=jnp measures the
-        # XLA path at the full-graph level.
-        variant = os.environ.get("T2IGAN_MEMREAD", "fused")
-        backend = jax.default_backend()
-        if variant == "fused" and backend in ("tpu", "axon"):
+        # The fused Pallas kernel is the unconditional TPU path: it wins
+        # decisively in the train step (flash backward, 2.2x) AND at the
+        # full eval graph — the round-4 chip A/B measured the XLA einsum
+        # form at 1204.3 vs 1437.5 imgs/sec gen+eval (−16.2%), even though
+        # the custom-call boundary pays 2x537MB row-major copies at 128^2
+        # (docs/PERFORMANCE.md rounds 3-4).  Non-TPU backends take the
+        # einsum form below.
+        if jax.default_backend() in ("tpu", "axon"):
             from t2igan.ops.pallas.memory_read import memory_read_fused
             return memory_read_fused(query_map, key, value, pad_mask), None
 

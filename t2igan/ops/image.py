@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # CLIP preprocessing constants (datasets.py:405-406).
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
@@ -111,6 +112,102 @@ def conv3x3_on_up2x_dilated(x: jnp.ndarray,
     return jax.lax.conv_general_dilated(
         x, k4.astype(x.dtype), (1, 1), padding=((2, 2), (2, 2)),
         lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+# Row-tap map for a conv3x3 computed in 2x2 subpixel PHASE space: entry
+# [alpha, p, a, u] is 1 iff, for output phase ``alpha`` (hi-res row 2i+alpha),
+# kernel tap ``u`` (hi-res row 2i+alpha+u-1) lands on input phase ``a`` at the
+# p-th row of the phase tensor's 2-row window [i, i+1].  (Phase-tensor row t
+# carries phase-``a`` values of hi-res row 2(t-a)+a, i.e. hi-res row r of
+# parity a lives at phase-tensor row (r-a)/2 + a.)
+_UP2X_RGB_PHASE = (
+    # alpha=0: window row p=0 reads a=0 via K3[1] and a=1 via K3[0];
+    #          window row p=1 reads a=1 via K3[2].
+    (((0.0, 1.0, 0.0), (1.0, 0.0, 0.0)),
+     ((0.0, 0.0, 0.0), (0.0, 0.0, 1.0))),
+    # alpha=1: window row p=0 reads a=0 via K3[0];
+    #          window row p=1 reads a=0 via K3[2] and a=1 via K3[1].
+    (((1.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+     ((0.0, 0.0, 1.0), (0.0, 1.0, 0.0))),
+)
+
+
+def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,
+                           scale: jnp.ndarray, shift: jnp.ndarray,
+                           k_rgb: jnp.ndarray) -> jnp.ndarray:
+    """The generator's FINAL eval tail — ``UpBlock`` (conv3x3 over a
+    nearest-2x upsample + eval-BN + GLU, model.py:104-110) followed by the
+    RGB head (conv3x3 -> 3 + tanh, model.py:536-547) — computed entirely in
+    2x2 subpixel phase space.
+
+    Why: the production default used to run the upconv as ONE input-dilated
+    4x4 conv (:func:`conv3x3_on_up2x_dilated`); the round-4 device trace
+    shows the TPU conv emitter executes that form DENSE — 21.0 ms/batch at
+    batch 128 bf16 for the 128^2 -> 256^2 stage, which is ~100% MXU
+    occupancy on 4x the necessary FLOPs (the dilation zeros are multiplied,
+    not skipped).  In phase space the same arithmetic is one 2x2 conv at
+    LOW resolution with the four phase kernels folded onto the output
+    channel axis (4x fewer FLOPs, MXU-perfect Cin/Cout), and because the
+    only consumer of the 2x-resolution tensor is the RGB head, the head is
+    ALSO computed in phase space (a second folded 2x2 conv) so the
+    [B, 2H, 2W, 2F] pre-GLU tensor — 2.15 GB at production dims — never
+    exists in HBM.  Only the [B, H, W, 12] phase RGB output (48 MB) is
+    interleaved back to [B, 2H, 2W, 3].
+
+    Exactness: same arithmetic as the module chain up to float
+    reassociation (shared-tap sums and the conv accumulation order);
+    equivalence is pinned in tests/test_models_gan.py.
+
+    Boundary handling: the phase tensor's halo rows/cols (index 0 for
+    odd phases, index H for even phases) correspond to hi-res rows -1 and
+    2H, which the hi-res RGB conv's zero padding would supply as zeros —
+    they are masked to zero between the GLU and the phase RGB conv.
+
+    x: [B, H, W, Cin] stage features (post-ResBlock); k_up: [3, 3, Cin, 2F]
+    the UpBlock conv kernel; scale/shift: [2F] the folded eval-BN affine;
+    k_rgb: [3, 3, F, 3] the RGB head kernel.  Returns [B, 2H, 2W, 3] in
+    [-1, 1].
+    """
+    b, h, w, cin = x.shape
+    f2 = k_up.shape[-1]
+    f = f2 // 2
+    # Upconv: fold the four 2x2 phase kernels onto Cout (see
+    # :func:`conv3x3_on_up2x`); phase (a, c) of hi-res row/col (2i+a, 2j+c)
+    # lives at [i+a, j+c, (a, c)] of the conv output.
+    m = jnp.asarray(_UP2X_PHASE, k_up.dtype)
+    k2 = jnp.einsum("apu,bqv,uvio->pqiabo", m, m, k_up)
+    k2 = k2.reshape(2, 2, cin, 4 * f2).astype(x.dtype)
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xpad, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, 4*2F]
+    # Eval-BN affine + GLU, pointwise per phase (XLA fuses this into the
+    # neighbouring convs' fetch/write).
+    y = y.reshape(b, h + 1, w + 1, 4, f2)
+    y = y * scale.astype(y.dtype) + shift.astype(y.dtype)
+    ga, gb = jnp.split(y, 2, axis=-1)
+    g = ga * jax.nn.sigmoid(gb)  # [B, H+1, W+1, 4, F]
+    # Zero the out-of-image halo entries (hi-res rows -1 and 2H).
+    rm = np.ones((h + 1, 2), np.float32)
+    rm[0, 1] = 0.0
+    rm[h, 0] = 0.0
+    cm = np.ones((w + 1, 2), np.float32)
+    cm[0, 1] = 0.0
+    cm[w, 0] = 0.0
+    mask = (rm[:, None, :, None] * cm[None, :, None, :]).reshape(
+        1, h + 1, w + 1, 4, 1)
+    g = (g * jnp.asarray(mask, g.dtype)).reshape(b, h + 1, w + 1, 4 * f)
+    # RGB head in phase space: output phase (alpha, gamma) at (i, j) reads
+    # the four input phases over the 2x2 window [i, i+1] x [j, j+1] with
+    # the K3 taps routed by _UP2X_RGB_PHASE.
+    r = jnp.asarray(_UP2X_RGB_PHASE, k_rgb.dtype)
+    kr = jnp.einsum("apxu,gqcv,uvfo->pqxcfago", r, r, k_rgb)
+    kr = kr.reshape(2, 2, 4 * f, 12).astype(x.dtype)
+    rgb = jax.lax.conv_general_dilated(
+        g, kr, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H, W, (a, c, 3)]
+    rgb = jnp.tanh(rgb).reshape(b, h, w, 2, 2, 3)
+    return rgb.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, 3)
 
 
 def resize_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:

@@ -97,7 +97,7 @@ class _FakeRun:
     def __call__(self, argv, env=None, timeout=None):
         kind = self.outcomes.pop(0)
         self.calls.append({k: env.get(k) for k in
-                           ("T2IGAN_UPBLOCK", "T2IGAN_RGB_KERNEL")})
+                           ("T2IGAN_UPBLOCK",)})
         if kind == "timeout":
             import subprocess
             self.clock["t"] += timeout
@@ -135,12 +135,11 @@ def test_supervise_retries_fast_tunnel_failure(monkeypatch):
 
 
 def test_supervise_falls_back_on_timeout(monkeypatch):
-    """A budget overrun moves to the slow-but-safe variant (naive UpBlock,
-    XLA RGB head)."""
+    """A budget overrun moves to the slow-but-safe variant (naive
+    UpBlock)."""
     rc, fake = _run_supervise(monkeypatch, ["timeout", 0])
     assert rc == 0
     assert fake.calls[1]["T2IGAN_UPBLOCK"] == "naive"
-    assert fake.calls[1]["T2IGAN_RGB_KERNEL"] == "0"
 
 
 def test_supervise_falls_back_on_slow_failure(monkeypatch):

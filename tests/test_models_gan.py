@@ -97,6 +97,58 @@ def test_upblock_variant_equivalence(rng, monkeypatch, variant):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_up2x_bn_glu_rgb_phased_equals_chain(rng):
+    """The phase-space eval tail (ops/image.py::up2x_bn_glu_rgb_phased) is
+    output-equivalent to the module chain it replaces: conv3x3(nearest_up2)
+    + eval-BN affine + GLU + conv3x3->3 + tanh (model.py:104-110 +
+    536-547)."""
+    from t2igan.ops.image import up2x_bn_glu_rgb_phased
+
+    def conv(x, k, pad):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for h, w, cin, f in ((5, 7, 3, 4), (8, 8, 6, 5), (1, 1, 2, 2)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        k_up = jnp.asarray(
+            rng.standard_normal((3, 3, cin, 2 * f)).astype(np.float32))
+        scale = jnp.asarray(rng.standard_normal(2 * f).astype(np.float32))
+        shift = jnp.asarray(rng.standard_normal(2 * f).astype(np.float32))
+        k_rgb = jnp.asarray(
+            rng.standard_normal((3, 3, f, 3)).astype(np.float32))
+        chain = jnp.tanh(conv(
+            glu(conv(upsample_nearest_2x(x), k_up,
+                     ((1, 1), (1, 1))) * scale + shift),
+            k_rgb, ((1, 1), (1, 1))))
+        phased = up2x_bn_glu_rgb_phased(x, k_up, scale, shift, k_rgb)
+        np.testing.assert_allclose(np.asarray(phased), np.asarray(chain),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_gnet_phased_tail_equivalence(rng, monkeypatch):
+    """GAN.PHASED_TAIL shares the plain path's param tree and produces the
+    same eval pyramid (up to float reassociation)."""
+    z, sent, words, pad = _small_gen_inputs(rng)
+    eps = jnp.zeros((B, 20))
+    monkeypatch.delenv("T2IGAN_PHASED_TAIL", raising=False)
+    plain = GNet(**SMALL)
+    variables = plain.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+        z, sent, words, pad, train=False, ca_eps=eps)
+    imgs0, att0, _, _ = plain.apply(variables, z, sent, words, pad,
+                                    train=False, ca_eps=eps)
+    phased = GNet(**SMALL, phased_tail=True)
+    imgs1, att1, _, _ = phased.apply(variables, z, sent, words, pad,
+                                     train=False, ca_eps=eps)
+    assert [i.shape for i in imgs0] == [i.shape for i in imgs1]
+    for a, b in zip(imgs0, imgs1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    for a, b in zip(att0, att1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_generator_pyramid_shapes(rng):
     model = GNet(**SMALL)
