@@ -77,7 +77,8 @@ def main():
     split = "train" if cfg.TRAIN.FLAG else "test"
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    trainer = CondGanTrainer(cfg, output_dir, split=split, dtype=dtype)
+    trainer = CondGanTrainer(cfg, output_dir, split=split, dtype=dtype,
+                             seed=seed)
     if cfg.TRAIN.FLAG:
         trainer.train(max_epochs=args.max_epochs)
     elif cfg.B_VALIDATION:

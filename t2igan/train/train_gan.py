@@ -42,10 +42,14 @@ from t2igan.utils.viz import save_image_grid, tanh_to01
 class CondGanTrainer:
     def __init__(self, cfg: Config, output_dir: str,
                  clip_cfg: Optional[ClipConfig] = None,
-                 split: str = "train", dtype=None):
+                 split: str = "train", dtype=None, seed: int = 0):
         """``dtype``: computation dtype for the models (params stay f32);
-        jnp.bfloat16 halves HBM traffic and doubles MXU rate on TPU."""
+        jnp.bfloat16 halves HBM traffic and doubles MXU rate on TPU.
+        ``seed`` feeds the JAX init and training-noise keys — the
+        counterpart of the reference's global ``torch.manual_seed``
+        (main.py:109-116); eval/probe keys stay pinned for parity."""
         self.cfg = cfg
+        self.seed = seed
         dtype = dtype or jnp.float32
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
@@ -65,7 +69,7 @@ class CondGanTrainer:
         from t2igan.utils.hostinit import host_init, put_default
         with host_init() as on_host:
             self.state = init_gan_state(cfg, self.gen_model, self.d_models,
-                                        jax.random.PRNGKey(0))
+                                        jax.random.PRNGKey(seed))
         if on_host:
             self.state = put_default(self.state)
         # donate the state so G/D/optimizer buffers update in place on-device
@@ -155,7 +159,8 @@ class CondGanTrainer:
         cfg = self.cfg
         epochs = max_epochs if max_epochs is not None else cfg.TRAIN.MAX_EPOCH
         timer = StepTimer(cfg.TRAIN.BATCH_SIZE)
-        rng = jax.random.PRNGKey(int(self.state.step) + 1)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                 int(self.state.step) + 1)
         self.state = replicate(self.mesh, self.state)
         stop = GracefulShutdown()
         for epoch in range(epochs):

@@ -89,6 +89,28 @@ def test_gan_trainer_epoch_sampling_and_example(tmp_path):
     assert any("_a0" in p for p in outs)
 
 
+def test_gan_trainer_seed_threads_into_init(tmp_path):
+    """--manualSeed must control the JAX init draws (reference parity:
+    main.py:109-116 seeds torch globally before model construction).
+    Same seed => identical params; different seed => different params."""
+    import jax
+    from t2igan.train.train_gan import CondGanTrainer
+
+    def leaves(trainer):
+        return [np.asarray(x) for x in
+                jax.tree_util.tree_leaves(trainer.state.g_params)]
+
+    a = leaves(CondGanTrainer(GAN_CFG, str(tmp_path / "a"),
+                              clip_cfg=TINY_CLIP, seed=7))
+    b = leaves(CondGanTrainer(GAN_CFG, str(tmp_path / "b"),
+                              clip_cfg=TINY_CLIP, seed=7))
+    c = leaves(CondGanTrainer(GAN_CFG, str(tmp_path / "c"),
+                              clip_cfg=TINY_CLIP, seed=8))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
 def test_gan_trainer_resume(tmp_path):
     from t2igan.train.train_gan import CondGanTrainer
 
