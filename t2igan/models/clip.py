@@ -133,11 +133,13 @@ class MultiHeadAttention(nn.Module):
             # platform_dependent so host-side init (which traces and lowers
             # for the CPU device, utils/hostinit.py) never lowers the
             # Pallas kernel — only the TPU executable takes the flash path.
+            # Branches must agree on output dtype: einsum_mha accumulates in
+            # f32 (preferred_element_type), the flash kernel emits
+            # self.dtype — cast up to f32 at the switch boundary.
+            flash = lambda q, k, v: _flash_mha(
+                q, k, v, bias, self.dtype).astype(jnp.float32)
             out = jax.lax.platform_dependent(
-                q, k, v,
-                tpu=lambda q, k, v: _flash_mha(q, k, v, bias, self.dtype),
-                axon=lambda q, k, v: _flash_mha(q, k, v, bias, self.dtype),
-                default=einsum_mha)
+                q, k, v, tpu=flash, axon=flash, default=einsum_mha)
         else:
             out = einsum_mha(q, k, v)
         out = out.reshape(b, l, d).astype(self.dtype)
