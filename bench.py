@@ -285,6 +285,23 @@ def bench_gen(args, with_eval: bool = False):
     return args.batch * args.iters / dt
 
 
+def _maybe_trace(args, run_once):
+    """``--trace`` support shared by the train/damsm modes: capture ~3
+    post-warmup steps under jax.profiler (decode with
+    tools/trace_decode.py).  The gen/geneval modes have their own inline
+    copy (their ``run`` closure lives inside the supervised child)."""
+    if getattr(args, "trace", ""):
+        import jax
+        import jax.profiler
+        jax.profiler.start_trace(args.trace)
+        out = None
+        for _ in range(3):
+            out = run_once()
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        print(f"bench: trace written to {args.trace}", flush=True)
+
+
 def bench_train(args):
     """Full adversarial train step (clip_bird_DMGAN.yml shape: batch 4,
     G gf=64, D df=32, 3 scales, DAMSM ranking loss through CLIP)."""
@@ -342,6 +359,12 @@ def bench_train(args):
     for _ in range(args.warmup):
         state, m = step(state, clip_vars["params"], batch, key)
     jax.block_until_ready(m)
+
+    def once():
+        nonlocal state
+        state, m = step(state, clip_vars["params"], batch, key)
+        return m
+    _maybe_trace(args, once)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, m = step(state, clip_vars["params"], batch, key)
@@ -576,6 +599,12 @@ def bench_damsm(args):
     for _ in range(args.warmup):
         state, m = step(state, batch)
     jax.block_until_ready(m)
+
+    def once():
+        nonlocal state
+        state, m = step(state, batch)
+        return m
+    _maybe_trace(args, once)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, m = step(state, batch)

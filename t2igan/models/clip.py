@@ -63,38 +63,6 @@ def quick_gelu(x: Array) -> Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _flash_mha(q: Array, k: Array, v: Array, bias: Optional[Array],
-               dtype) -> Array:
-    """A/B path (``T2IGAN_FLASH_ATTN=1``): TPU flash-attention kernel for
-    the CLIP towers.  CLIP sequences are tiny (77 text / 50 vision tokens),
-    so lengths pad up to the kernel's 128-token block — a
-    measured-either-way experiment (NOTES round-3); the einsum+softmax path
-    stays the default.  q is pre-scaled; ``bias`` is the additive
-    causal/pad mask broadcastable to [B, H, L, L]."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import \
-        flash_attention
-
-    b, l, h, hd = q.shape
-    lp = ((l + 127) // 128) * 128
-
-    def prep(x):
-        x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0), (0, 0)))
-        return x.transpose(0, 2, 1, 3).astype(dtype)  # [B, H, Lp, hd]
-
-    core = jnp.zeros((b, h, l, l), jnp.float32)
-    if bias is not None:
-        core = core + bias.astype(jnp.float32)
-    ab = jnp.pad(core, ((0, 0), (0, 0), (0, lp - l), (0, lp - l)))
-    if lp > l:
-        # padded KEYS must never win the softmax; padded query rows attend
-        # the real keys (finite) and are sliced away below.
-        neg = jnp.full((b, h, lp, lp - l), -1e9, jnp.float32)
-        ab = jnp.concatenate([ab[..., :l], neg], axis=-1)
-    out = flash_attention(prep(q), prep(k), prep(v), ab=ab,
-                          causal=False, sm_scale=1.0)
-    return out.transpose(0, 2, 1, 3)[:, :l]  # [B, L, H, hd]
-
-
 class MultiHeadAttention(nn.Module):
     """HF ``CLIPAttention`` semantics: scaled q, additive mask, f32 softmax."""
 
@@ -117,31 +85,21 @@ class MultiHeadAttention(nn.Module):
         q = qkv[..., 0, :].reshape(b, l, h, hd) * (hd ** -0.5)
         k = qkv[..., 1, :].reshape(b, l, h, hd)
         v = qkv[..., 2, :].reshape(b, l, h, hd)
-        import os
 
-        def einsum_mha(q, k, v):
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                preferred_element_type=jnp.float32)
-            if bias is not None:
-                logits = logits + bias
-            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-            weights = weights.astype(self.dtype)
-            return jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                              preferred_element_type=jnp.float32)
-
-        if os.environ.get("T2IGAN_FLASH_ATTN", "0") == "1":
-            # platform_dependent so host-side init (which traces and lowers
-            # for the CPU device, utils/hostinit.py) never lowers the
-            # Pallas kernel — only the TPU executable takes the flash path.
-            # Branches must agree on output dtype: einsum_mha accumulates in
-            # f32 (preferred_element_type), the flash kernel emits
-            # self.dtype — cast up to f32 at the switch boundary.
-            flash = lambda q, k, v: _flash_mha(
-                q, k, v, bias, self.dtype).astype(jnp.float32)
-            out = jax.lax.platform_dependent(
-                q, k, v, tpu=flash, axon=flash, default=einsum_mha)
-        else:
-            out = einsum_mha(q, k, v)
+        # Plain einsum + f32 softmax.  A Pallas flash-attention variant was
+        # built and measured in round 4 (T2IGAN_FLASH_ATTN): CLIP sequences
+        # are tiny (77 text / 50 vision tokens), so they pad up to the
+        # kernel's 128-token block and the full DAMSM step ran 47.4 vs
+        # ~105-128 steps/sec — a decisive loss; the lever was deleted
+        # (docs/PERFORMANCE.md round 4).
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        weights = weights.astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
+                         preferred_element_type=jnp.float32)
         out = out.reshape(b, l, d).astype(self.dtype)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
