@@ -149,10 +149,12 @@ def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,
     LOW resolution with the four phase kernels folded onto the output
     channel axis (4x fewer FLOPs, MXU-perfect Cin/Cout), and because the
     only consumer of the 2x-resolution tensor is the RGB head, the head is
-    ALSO computed in phase space (a second folded 2x2 conv) so the
-    [B, 2H, 2W, 2F] pre-GLU tensor — 2.15 GB at production dims — never
-    exists in HBM.  Only the [B, H, W, 12] phase RGB output (48 MB) is
-    interleaved back to [B, 2H, 2W, 3].
+    ALSO computed in phase space (a second folded 2x2 conv), so no
+    2x-resolution feature tensor ever exists in HBM (the phase-space
+    pre-GLU tensor is the same bytes as the hi-res one, but it is a plain
+    conv output whose BN epilogue and GLU consumer fuse — see the
+    FUSION-CRITICAL note below).  Only the [B, H, W, 12] phase RGB output
+    (48 MB) is interleaved back to [B, 2H, 2W, 3].
 
     Exactness: same arithmetic as the module chain up to float
     reassociation (shared-tap sums and the conv accumulation order);
@@ -174,29 +176,46 @@ def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,
     # Upconv: fold the four 2x2 phase kernels onto Cout (see
     # :func:`conv3x3_on_up2x`); phase (a, c) of hi-res row/col (2i+a, 2j+c)
     # lives at [i+a, j+c, (a, c)] of the conv output.
+    #
+    # FUSION-CRITICAL STRUCTURE (trace .profiles/geneval_r4_phased): the
+    # first form of this op reshaped the conv output to rank-5
+    # [B, H+1, W+1, 4, 2F] for the BN/GLU, which blocked XLA's conv
+    # epilogue fusion — the affine and the GLU each became a separate full
+    # pass over the ~2.2 GB phase tensor (6.5 + 4.7 ms/batch at b128,
+    # erasing the conv's own 21.0 -> 6.7 ms win).  Everything below
+    # therefore stays rank-4 on the conv's own output shape:
+    #  * the eval-BN SCALE is folded into the conv kernel columns and the
+    #    SHIFT is a flat [8F] bias add (a standard fusable conv epilogue);
+    #  * the folded kernel's output channels are ordered
+    #    (GLU half, row phase a, col phase b, feature) so the GLU is a
+    #    flat channel split;
+    #  * the halo mask is two rank-2 row/col broadcast factors.
     m = jnp.asarray(_UP2X_PHASE, k_up.dtype)
-    k2 = jnp.einsum("apu,bqv,uvio->pqiabo", m, m, k_up)
-    k2 = k2.reshape(2, 2, cin, 4 * f2).astype(x.dtype)
-    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    k5 = k_up.reshape(3, 3, cin, 2, f)  # split Cout into (GLU half, feature)
+    k2 = jnp.einsum("apu,bqv,uvihr->pqihabr", m, m, k5)
+    sc = scale.astype(k2.dtype).reshape(2, 1, 1, f)  # broadcast over (a, b)
+    k2 = (k2 * sc).reshape(2, 2, cin, 4 * f2).astype(x.dtype)
+    sh = jnp.broadcast_to(shift.astype(x.dtype).reshape(2, 1, f),
+                          (2, 4, f)).reshape(4 * f2)
     y = jax.lax.conv_general_dilated(
-        xpad, k2, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, 4*2F]
-    # Eval-BN affine + GLU, pointwise per phase (XLA fuses this into the
-    # neighbouring convs' fetch/write).
-    y = y.reshape(b, h + 1, w + 1, 4, f2)
-    y = y * scale.astype(y.dtype) + shift.astype(y.dtype)
-    ga, gb = jnp.split(y, 2, axis=-1)
-    g = ga * jax.nn.sigmoid(gb)  # [B, H+1, W+1, 4, F]
-    # Zero the out-of-image halo entries (hi-res rows -1 and 2H).
+        x, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, (h,a,b,r)]
+    y = y + sh
+    g = y[..., :4 * f] * jax.nn.sigmoid(y[..., 4 * f:])  # GLU -> (a, b, r)
+    # Zero the out-of-image halo entries (hi-res rows -1 and 2H): row factor
+    # depends on (row, a), col factor on (col, b), broadcast over features.
     rm = np.ones((h + 1, 2), np.float32)
     rm[0, 1] = 0.0
     rm[h, 0] = 0.0
     cm = np.ones((w + 1, 2), np.float32)
     cm[0, 1] = 0.0
     cm[w, 0] = 0.0
-    mask = (rm[:, None, :, None] * cm[None, :, None, :]).reshape(
-        1, h + 1, w + 1, 4, 1)
-    g = (g * jnp.asarray(mask, g.dtype)).reshape(b, h + 1, w + 1, 4 * f)
+    rowm = np.broadcast_to(rm[:, :, None],
+                           (h + 1, 2, 2 * f)).reshape(h + 1, 4 * f)
+    colm = np.broadcast_to(cm[:, None, :, None],
+                           (w + 1, 2, 2, f)).reshape(w + 1, 4 * f)
+    g = g * jnp.asarray(rowm, g.dtype)[None, :, None, :]
+    g = g * jnp.asarray(colm, g.dtype)[None, None, :, :]
     # RGB head in phase space: output phase (alpha, gamma) at (i, j) reads
     # the four input phases over the 2x2 window [i, i+1] x [j, j+1] with
     # the K3 taps routed by _UP2X_RGB_PHASE.
