@@ -74,7 +74,7 @@ def _supervise() -> int:
         # Attempt 2 reverts the optional fast path (UpBlock dilated form)
         # so a compile blowup still yields a number inside the driver's
         # window.
-        ({"T2IGAN_UPBLOCK": "naive"},
+        ({"T2IGAN_UPBLOCK": "naive", "T2IGAN_PHASED_TAIL": "0"},
          float(os.environ.get("T2IGAN_BENCH_ATTEMPT2_S", "1200"))),
     ]
     purged = False

@@ -100,9 +100,13 @@ class GanConfig:
     # head + tanh) in 2x2 subpixel phase space — two folded 2x2 convs at
     # LOW resolution (ops/image.py::up2x_bn_glu_rgb_phased): 1/4 the MXU
     # FLOPs of the dilated upconv (which the round-4 trace shows XLA runs
-    # dense) and the [B, 2H, 2W, 2*GF] pre-GLU tensor never exists in HBM.
+    # dense) and no 2x-resolution feature tensor in HBM.  ON by default:
+    # measured +14.2% gen+eval (1641 vs 1437.5 imgs/sec) and +15.9%
+    # gen-only (2011.7 vs 1735.2) at batch 128 bf16 on the v5e chip; the
+    # stage-3 upconv fell 21.0 -> 6.4 ms/batch (docs/PERFORMANCE.md round
+    # 4).  Training always uses the module chain (BN batch statistics).
     # T2IGAN_PHASED_TAIL=0/1 is the env A/B override.
-    PHASED_TAIL: bool = False
+    PHASED_TAIL: bool = True
 
 
 @_frozen
