@@ -20,6 +20,7 @@ Flags: --batch, --iters, --mode {gen,geneval,train,damsm}, --dtype {f32,bf16}.
 import argparse
 import json
 import os
+import sys
 import time
 
 
@@ -289,17 +290,43 @@ def _maybe_trace(args, run_once):
     """``--trace`` support shared by the train/damsm modes: capture ~3
     post-warmup steps under jax.profiler (decode with
     tools/trace_decode.py).  The gen/geneval modes have their own inline
-    copy (their ``run`` closure lives inside the supervised child)."""
+    copy (their ``run`` closure lives inside the supervised child).
+
+    TIMING-FENCE WARNING (round 4): on the axon platform
+    ``jax.block_until_ready`` on the train/damsm step's METRIC outputs
+    returns before the enqueued executions drain, so a block-fenced loop
+    measures the ENQUEUE rate — the round 1-3 train/damsm steps-per-sec
+    numbers were inflated up to ~9x (the b16 train step is 6.02 TFLOP by
+    compiled cost_analysis, >= 30.6 ms at 100% MFU, yet walls of 3.4 ms
+    were recorded; the damsm trace's device wall span shows 30.4 ms/step
+    where block-fenced walls claimed 8-9 ms).  The timed loops therefore
+    end in ``jax.device_get`` — an actual value materialization cannot
+    complete before the work does.  The gen/geneval headline was always
+    honest: its block fence is on the full output array and its wall
+    matches its decoded device trace."""
     if getattr(args, "trace", ""):
         import jax
         import jax.profiler
+        n = 3
         jax.profiler.start_trace(args.trace)
         out = None
-        for _ in range(3):
+        for _ in range(n):
             out = run_once()
-        jax.block_until_ready(out)
+        jax.device_get(out)
         jax.profiler.stop_trace()
         print(f"bench: trace written to {args.trace}", flush=True)
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            from trace_decode import device_span_ms
+            span = device_span_ms(args.trace)
+            print(json.dumps({
+                "metric": f"{args.mode} step, device trace span",
+                "value": round(n / (span / 1e3), 3),
+                "unit": "steps/sec (device)",
+                "ms_per_step": round(span / n, 2)}), flush=True)
+        except Exception as e:  # decode failure must not kill the bench
+            print(f"bench: trace span decode failed: {e}", flush=True)
 
 
 def bench_train(args):
@@ -368,7 +395,7 @@ def bench_train(args):
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, m = step(state, clip_vars["params"], batch, key)
-    jax.block_until_ready(m)
+    jax.device_get(m)  # MATERIALIZING fence — see _maybe_trace's docstring
     dt = time.perf_counter() - t0
     return args.iters / dt  # steps/sec
 
@@ -608,7 +635,7 @@ def bench_damsm(args):
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+    jax.device_get(m)  # MATERIALIZING fence — see _maybe_trace's docstring
     return args.iters / (time.perf_counter() - t0)
 
 

@@ -168,6 +168,39 @@ class TextTower(nn.Module):
         return x, pooled
 
 
+class PatchEmbed(nn.Module):
+    """ViT patch embedding as space-to-depth + ONE matmul.
+
+    The parameter tree is identical to
+    ``nn.Conv(D, (p, p), strides=(p, p), use_bias=False)`` — a ``kernel``
+    of shape [p, p, C, D] — so the HF/torch converters and checkpoints are
+    unchanged.  Why not a conv: in the adversarial step, gradients flow
+    THROUGH the generated image into the generator (the DAMSM term on
+    fakes), and XLA lowers the stride-32 conv's INPUT gradient to a
+    pathological 20.6 ms/view fusion — two caption views = 41 ms, a third
+    of the whole b16 train step (trace ``.profiles/train_r4``,
+    docs/PERFORMANCE.md round 4).  As space-to-depth + matmul the backward
+    is a plain [B·P, D] @ [D, p·p·C] matmul plus a free reshape/transpose.
+    """
+
+    hidden: int
+    patch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, cc = x.shape
+        p = self.patch
+        assert h % p == 0 and w % p == 0, (h, w, p)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, cc, self.hidden), jnp.float32)
+        hp, wp = h // p, w // p
+        x = x.reshape(b, hp, p, wp, p, cc).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, hp * wp, p * p * cc).astype(self.dtype)
+        k = kernel.reshape(p * p * cc, self.hidden).astype(self.dtype)
+        return x @ k                                      # [B, P, D]
+
+
 class VisionTower(nn.Module):
     """CLIP ViT producing (last_hidden [B, 1+P, D], pooled post-LN CLS)."""
 
@@ -180,10 +213,8 @@ class VisionTower(nn.Module):
         c = self.cfg.vision
         p = self.cfg.patch_size
         b = pixel_values.shape[0]
-        patches = nn.Conv(c.hidden_size, (p, p), strides=(p, p),
-                          use_bias=False, dtype=self.dtype,
-                          name="patch_embedding")(pixel_values)
-        patches = patches.reshape(b, -1, c.hidden_size)   # [B, P, D]
+        patches = PatchEmbed(c.hidden_size, p, self.dtype,
+                             name="patch_embedding")(pixel_values)
         cls = self.param("class_embedding",
                          jax.nn.initializers.normal(0.02),
                          (c.hidden_size,), jnp.float32)

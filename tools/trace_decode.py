@@ -73,10 +73,16 @@ def _zz(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_plane(plane: memoryview):
-    """XPlane -> (name, {metadata_id: name}, [(metadata_id, dur_ps)])."""
+    """XPlane -> (name, {metadata_id: name}, [(metadata_id, dur_ps)],
+    (span_start_ps, span_end_ps)) — the span is the absolute device
+    wall-clock window covered by op-level events (line timestamp_ns * 1e3
+    + event offset_ps), which divides by the traced step count to give
+    true device ms/step even when async DMA durations overlap compute and
+    double-count in the on-op total."""
     name = ""
     meta = {}
     events = []
+    span = [None, None]
     for fno, wt, v in fields(plane):
         if fno == 2 and wt == 2:
             name = bytes(v).decode("utf-8", "replace")
@@ -95,32 +101,65 @@ def decode_plane(plane: memoryview):
                             mdisp = bytes(v3).decode("utf-8", "replace")
             if mid is not None:
                 meta[mid] = mdisp or mname
-        elif fno == 3 and wt == 2:       # XLine {1: id, 2: name, 4: events}
-            lname = ""
+        elif fno == 3 and wt == 2:       # XLine {1: id, 2: name,
+            lname = ""                   #        3: timestamp_ns, 4: events}
+            lts_ns = 0
             levents = []
             for f2, w2, v2 in fields(v):
                 if f2 == 2 and w2 == 2:
                     lname = bytes(v2).decode("utf-8", "replace")
+                elif f2 == 3 and w2 == 0:
+                    lts_ns = v2
                 elif f2 == 4 and w2 == 2:  # XEvent {1: mid, 2: off, 3: dur}
-                    mid, dur = None, 0
+                    mid, off, dur = None, 0, 0
                     for f3, w3, v3 in fields(v2):
                         if f3 == 1 and w3 == 0:
                             mid = v3
+                        elif f3 == 2 and w3 == 0:
+                            off = _zz(v3)
                         elif f3 == 3 and w3 == 0:
                             dur = _zz(v3)
                     if mid is not None:
-                        levents.append((mid, dur))
+                        levents.append((mid, off, dur))
             # keep op-level lines; skip module/step rollup lines that would
             # double-count the same wall time
             if lname not in ("XLA Modules", "Steps"):
-                events.extend(levents)
-    return name, meta, events
+                for mid, off, dur in levents:
+                    t0 = lts_ns * 1000 + off
+                    if span[0] is None or t0 < span[0]:
+                        span[0] = t0
+                    if span[1] is None or t0 + dur > span[1]:
+                        span[1] = t0 + dur
+                events.extend((mid, dur) for mid, _, dur in levents)
+    return name, meta, events, tuple(span)
 
 
 def decode_space(buf: memoryview):
     for fno, wt, v in fields(buf):
         if fno == 1 and wt == 2:
             yield decode_plane(v)
+
+
+def device_span_ms(trace_path: str, plane: str = "TPU") -> float:
+    """Device wall span (ms) of the op-level events in a profile dir or
+    .xplane.pb file — the trustworthy per-step timing source on this
+    host: wall clocks through the contended 1-CPU axon tunnel measured
+    both 9x too FAST (flaky ready-fence, round-4 probe) and 20x too SLOW
+    (per-dispatch RPC under CPU contention), while the device span of
+    back-to-back enqueued steps matches physics."""
+    path = trace_path
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "**", "*.xplane.pb"),
+                                 recursive=True))
+        if not cands:
+            raise FileNotFoundError(f"no .xplane.pb under {path}")
+        path = cands[-1]
+    with open(path, "rb") as f:
+        buf = memoryview(f.read())
+    for name, _, events, span in decode_space(buf):
+        if plane in name and events and span[0] is not None:
+            return (span[1] - span[0]) / 1e9
+    raise ValueError(f"no plane matching {plane!r} with events in {path}")
 
 
 def main():
@@ -144,7 +183,7 @@ def main():
         buf = memoryview(f.read())
 
     shown = False
-    for name, meta, events in decode_space(buf):
+    for name, meta, events, span in decode_space(buf):
         if args.plane not in name or not events:
             continue
         shown = True
@@ -156,6 +195,11 @@ def main():
         total = sum(a[0] for a in agg.values())
         print(f"\n== plane {name!r}: {len(events)} events, "
               f"{total / 1e9:.3f} ms total on-op time ==")
+        if span[0] is not None:
+            wall = (span[1] - span[0]) / 1e9
+            print(f"device wall span: {wall:.3f} ms (/= traced step count "
+                  f"for true device ms/step; on-op totals double-count "
+                  f"async DMA overlap)")
         print("NB: the trace window usually covers a few executions plus "
               "init uploads;\nper-iteration cost of an op = ms/occ (total "
               "divided by its own count),\nNOT total/iters.  One-shot "
@@ -172,7 +216,7 @@ def main():
             print(f"{'':>9}  {rdur / 1e9:9.2f}  {rcnt:6d}  "
                   f"(+{len(rest)} more ops)")
     if not shown:
-        planes = [n for n, _, e in decode_space(buf)]
+        planes = [n for n, _, e, _ in decode_space(buf)]
         sys.exit(f"no plane matching {args.plane!r} with events; "
                  f"planes: {planes}")
 

@@ -10,7 +10,11 @@ actual jax.device_get of the same metrics.  If (b) costs ~N x 30 ms after
 (a) claimed to finish, the fence is broken and every train/damsm wall
 number in BASELINE.md must be re-measured with a materializing fence.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
