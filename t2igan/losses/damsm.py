@@ -127,11 +127,20 @@ def attention_match_scores(words: Array, regions: Array,
 
 
 def _use_fused_kernel() -> bool:
-    """Pick the Pallas matching-score kernel on TPU backends
-    (``T2IGAN_FUSED_DAMSM=0`` disables it for A/B measurements)."""
+    """The XLA einsum chain is the DEFAULT; ``T2IGAN_FUSED_DAMSM=1`` opts
+    into the Pallas matching-score kernel on TPU backends for A/B
+    re-measurement.
+
+    HONEST-MEASUREMENT CORRECTION (round 4): the round-1 "2.7x step
+    speedup" attributed to the fused kernel was an artifact of a broken
+    wall-clock fence (docs/PERFORMANCE.md round 4, timing honesty).  By
+    device trace span the b48 bf16 DAMSM step runs 29.4 ms/step on the
+    plain einsum graph vs 30.24 ms/step with the kernel — the kernel is a
+    2.8% LOSS at production shape, so the einsum form is the production
+    default."""
     import os
 
-    if os.environ.get("T2IGAN_FUSED_DAMSM", "1") == "0":
+    if os.environ.get("T2IGAN_FUSED_DAMSM", "0") != "1":
         return False
     backend = jax.default_backend()
     return backend in ("tpu", "axon")

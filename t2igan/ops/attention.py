@@ -112,14 +112,19 @@ def memory_read(query_map: jnp.ndarray,
         entirely in VMEM (see ops/pallas/memory_read.py).
     """
     if not return_attn:
-        # The fused Pallas kernel is the unconditional TPU path: it wins
-        # decisively in the train step (flash backward, 2.2x) AND at the
-        # full eval graph — the round-4 chip A/B measured the XLA einsum
-        # form at 1204.3 vs 1437.5 imgs/sec gen+eval (−16.2%), even though
-        # the custom-call boundary pays 2x537MB row-major copies at 128^2
-        # (docs/PERFORMANCE.md rounds 3-4).  Non-TPU backends take the
-        # einsum form below.
-        if jax.default_backend() in ("tpu", "axon"):
+        # The fused Pallas kernel is the default TPU path: at the full
+        # eval graph the round-4 chip A/B measured the XLA einsum form at
+        # 1204.3 vs 1437.5 imgs/sec gen+eval (−16.2%), even though the
+        # custom-call boundary pays 2x537MB row-major copies at 128^2
+        # (docs/PERFORMANCE.md rounds 3-4).  The round-1 "2.2x train step"
+        # claim was measured with the broken wall fence (round-4 timing
+        # honesty) — the TRAIN-side verdict is re-measured by device trace
+        # span via the A/B-only `T2IGAN_MEMREAD=jnp` override below.
+        # Non-TPU backends take the einsum form.
+        import os
+
+        if (os.environ.get("T2IGAN_MEMREAD", "fused") != "jnp"
+                and jax.default_backend() in ("tpu", "axon")):
             from t2igan.ops.pallas.memory_read import memory_read_fused
             return memory_read_fused(query_map, key, value, pad_mask), None
 
