@@ -130,7 +130,8 @@ def decode_plane(plane: memoryview):
                         span[0] = t0
                     if span[1] is None or t0 + dur > span[1]:
                         span[1] = t0 + dur
-                events.extend((mid, dur) for mid, _, dur in levents)
+                events.extend((mid, lts_ns * 1000 + off, dur)
+                              for mid, off, dur in levents)
     return name, meta, events, tuple(span)
 
 
@@ -162,6 +163,57 @@ def device_span_ms(trace_path: str, plane: str = "TPU") -> float:
     raise ValueError(f"no plane matching {plane!r} with events in {path}")
 
 
+def _union_ms(iv):
+    """Total length (ms) of the union of [t0, t1) picosecond intervals."""
+    if not iv:
+        return 0.0
+    iv.sort()
+    tot = 0
+    cs, ce = iv[0]
+    for s, e in iv[1:]:
+        if s > ce:
+            tot += ce - cs
+            cs, ce = s, e
+        elif e > ce:
+            ce = e
+    tot += ce - cs
+    return tot / 1e9
+
+
+_DMA_PREFIXES = ("%copy", "copy", "%dynamic-update-slice.")
+
+
+def _is_dma(op: str) -> bool:
+    """Async data-movement ops (copy-start/copy-done pairs and bare
+    copies).  Everything else — fusions, convolutions, custom calls,
+    dots, reduces — counts as compute for the interval split."""
+    return op.startswith(("%copy", "copy"))
+
+
+def intervals_report(meta, events, span):
+    """Sweep-line split of the device span into compute-busy, DMA-only
+    and idle time.  Async DMA (copy-start) durations overlap compute, so
+    on-op totals overstate their cost; what a copy actually costs the
+    step is the time the device spends with ONLY copies in flight
+    (dma_only) plus any idle gaps they fail to cover."""
+    all_iv, comp_iv = [], []
+    for mid, t0, dur in events:
+        op = meta.get(mid, f"#{mid}")
+        iv = (t0, t0 + dur)
+        all_iv.append(iv)
+        if not _is_dma(op):
+            comp_iv.append(iv)
+    wall = (span[1] - span[0]) / 1e9
+    busy = _union_ms(all_iv)
+    comp = _union_ms(comp_iv)
+    return {
+        "wall_ms": wall,
+        "compute_ms": comp,
+        "dma_only_ms": busy - comp,
+        "idle_ms": wall - busy,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("trace", help=".xplane.pb file or a profile dir")
@@ -188,7 +240,7 @@ def main():
             continue
         shown = True
         agg = defaultdict(lambda: [0, 0])
-        for mid, dur in events:
+        for mid, _, dur in events:
             a = agg[meta.get(mid, f"#{mid}")]
             a[0] += dur
             a[1] += 1
@@ -200,6 +252,11 @@ def main():
             print(f"device wall span: {wall:.3f} ms (/= traced step count "
                   f"for true device ms/step; on-op totals double-count "
                   f"async DMA overlap)")
+            r = intervals_report(meta, events, span)
+            print(f"interval split: compute-busy {r['compute_ms']:.3f} ms, "
+                  f"DMA-only {r['dma_only_ms']:.3f} ms, "
+                  f"idle {r['idle_ms']:.3f} ms "
+                  f"(copies cost only their DMA-only + idle share)")
         print("NB: the trace window usually covers a few executions plus "
               "init uploads;\nper-iteration cost of an op = ms/occ (total "
               "divided by its own count),\nNOT total/iters.  One-shot "
