@@ -107,13 +107,6 @@ class GanConfig:
     # 4).  Training always uses the module chain (BN batch statistics).
     # T2IGAN_PHASED_TAIL=0/1 is the env A/B override.
     PHASED_TAIL: bool = True
-    # Compute MID-stage eval UpBlocks (INIT chain + stage upconvs whose
-    # consumer needs the hi-res tensor) in the same 2x2 subpixel phase
-    # space, interleaving back afterwards (ops/image.py::up2x_bn_glu_phased)
-    # — 1/4 the upconv MXU FLOPs minus one interleave pass.  OFF pending
-    # the full-graph chip A/B (the stage-2 upconv is 5.2 ms/batch of the
-    # geneval iteration).  T2IGAN_PHASED_UP=0/1 is the env A/B override.
-    PHASED_UP: bool = False
 
 
 @_frozen

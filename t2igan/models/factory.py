@@ -31,11 +31,6 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         logging.getLogger("t2igan").warning(
             "Phased eval tail overridden by T2IGAN_PHASED_TAIL=%s "
             "(config GAN.PHASED_TAIL=%s)", env, cfg.GAN.PHASED_TAIL)
-    env = os.environ.get("T2IGAN_PHASED_UP")
-    if env is not None and (env == "1") != cfg.GAN.PHASED_UP:
-        logging.getLogger("t2igan").warning(
-            "Phased mid-stage upconv overridden by T2IGAN_PHASED_UP=%s "
-            "(config GAN.PHASED_UP=%s)", env, cfg.GAN.PHASED_UP)
     return cls(
         gf_dim=cfg.GAN.GF_DIM,
         nef=cfg.TEXT.EMBEDDING_DIM,
@@ -46,7 +41,6 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         upblock=cfg.GAN.UPBLOCK,
         fused_tail=cfg.GAN.FUSED_TAIL,
         phased_tail=cfg.GAN.PHASED_TAIL,
-        phased_up=cfg.GAN.PHASED_UP,
     )
 
 

@@ -35,8 +35,7 @@ import jax.numpy as jnp
 
 from t2igan.ops.attention import memory_read
 from t2igan.ops.image import (conv3x3_on_up2x, conv3x3_on_up2x_dilated,
-                              up2x_bn_glu_phased, up2x_bn_glu_rgb_phased,
-                              upsample_nearest_2x)
+                              up2x_bn_glu_rgb_phased, upsample_nearest_2x)
 
 Array = jnp.ndarray
 
@@ -52,19 +51,6 @@ def glu(x: Array, axis: int = -1) -> Array:
     """Gated linear unit over channels: ``a * sigmoid(b)`` (model.py:82-90)."""
     a, b = jnp.split(x, 2, axis=axis)
     return a * jax.nn.sigmoid(b)
-
-
-def use_phased_up(flag: bool, train: bool) -> bool:
-    """Trace-time decision for the MID-stage phase-space upconv (config
-    ``GAN.PHASED_UP`` with the ``T2IGAN_PHASED_UP`` env A/B override):
-    eval-mode UpBlocks run as one folded 2x2 conv at LOW resolution + an
-    interleave (ops/image.py::up2x_bn_glu_phased).  Training keeps the
-    module chain (BN batch statistics)."""
-    import os
-
-    return (not train
-            and os.environ.get("T2IGAN_PHASED_UP",
-                               "1" if flag else "0") == "1")
 
 
 def use_phased_tail(flag: bool, train: bool) -> bool:
@@ -183,24 +169,17 @@ class UpBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
     variant: str = "dilated"
-    phased_up: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, fold: bool = False):
         import os
 
-        if fold or use_phased_up(self.phased_up, train):
+        if fold:
             f2 = self.features * 2
             kernel = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
             scale, shift = _bn_affine(BatchNorm(self.dtype,
                                                 name="BatchNorm_0"), f2)
-            if fold:
-                return kernel, scale, shift
-            # Eval: the whole block as one folded 2x2 conv in subpixel
-            # phase space + interleave (GAN.PHASED_UP; same param tree).
-            return up2x_bn_glu_phased(x.astype(self.dtype),
-                                      kernel.astype(self.dtype),
-                                      scale, shift)
+            return kernel, scale, shift
 
         variant = os.environ.get("T2IGAN_UPBLOCK", self.variant)
         if variant == "naive":
@@ -285,7 +264,6 @@ class InitStageG(nn.Module):
     ngf: int  # = GF_DIM * 16 at this stage, matching the reference
     dtype: Any = jnp.float32
     upblock: str = "dilated"
-    phased_up: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, c_code: Array, train: bool):
@@ -298,7 +276,7 @@ class InitStageG(nn.Module):
         x = x.reshape(x.shape[0], self.ngf, 4, 4).transpose(0, 2, 3, 1)
         for i in range(4):
             x = UpBlock(self.ngf // (2 ** (i + 1)), self.dtype,
-                        self.upblock, self.phased_up)(x, train)
+                        self.upblock)(x, train)
         return x  # [B, 64, 64, ngf/16]
 
 
@@ -318,7 +296,6 @@ class NextStageG(nn.Module):
     upblock: str = "dilated"
     fused_tail: bool = False
     phased_tail: bool = False
-    phased_up: bool = False
 
     @nn.compact
     def __call__(self, h_code: Array, word_embs: Array,
@@ -403,7 +380,7 @@ class NextStageG(nn.Module):
             # conv form wastes) and T2IGAN_RGB_KERNEL=glu (Pallas GLU-fused
             # RGB head, −1.7%).  XLA's layout assignment and its GLU-fused
             # conv fetch stand as the production forms.)
-            up = UpBlock(self.ngf, self.dtype, self.upblock, self.phased_up)
+            up = UpBlock(self.ngf, self.dtype, self.upblock)
             out = up(h_new, train)
             if rgb_kernel is None:
                 return out
@@ -494,7 +471,6 @@ class GNet(nn.Module):
     upblock: str = "dilated"
     fused_tail: bool = False
     phased_tail: bool = False
-    phased_up: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -510,13 +486,13 @@ class GNet(nn.Module):
         c_code, mu, logvar = CANet(self.condition_dim, self.dtype)(
             sent_emb, ca_eps)
 
-        h_code = InitStageG(ngf * 16, self.dtype, self.upblock,
-                            self.phased_up)(z_code, c_code, train)
+        h_code = InitStageG(ngf * 16, self.dtype,
+                            self.upblock)(z_code, c_code, train)
         fake_imgs.append(GetImageG(self.dtype)(h_code))
         for i in range(1, self.branch_num):
             stage = NextStageG(ngf, self.nef, self.num_residual,
                                self.dtype, self.upblock, self.fused_tail,
-                               self.phased_tail, self.phased_up)
+                               self.phased_tail)
             last = i == self.branch_num - 1
             if last and (use_fused_tail(self.fused_tail, train)
                          or use_phased_tail(self.phased_tail, train)):
@@ -552,7 +528,6 @@ class GDCGan(nn.Module):
     upblock: str = "dilated"
     fused_tail: bool = False
     phased_tail: bool = False
-    phased_up: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -562,13 +537,13 @@ class GDCGan(nn.Module):
         att_maps = []
         c_code, mu, logvar = CANet(self.condition_dim, self.dtype)(
             sent_emb, ca_eps)
-        h_code = InitStageG(ngf * 16, self.dtype, self.upblock,
-                            self.phased_up)(z_code, c_code, train)
+        h_code = InitStageG(ngf * 16, self.dtype,
+                            self.upblock)(z_code, c_code, train)
         img = None
         for i in range(1, self.branch_num):
             stage = NextStageG(ngf, self.nef, self.num_residual,
                                self.dtype, self.upblock, self.fused_tail,
-                               self.phased_tail, self.phased_up)
+                               self.phased_tail)
             last = i == self.branch_num - 1
             if last and (use_fused_tail(self.fused_tail, train)
                          or use_phased_tail(self.phased_tail, train)):

@@ -135,11 +135,13 @@ _UP2X_RGB_PHASE = (
 def _up2x_glu_phase_tensor(x: jnp.ndarray, k_up: jnp.ndarray,
                            scale: jnp.ndarray,
                            shift: jnp.ndarray) -> jnp.ndarray:
-    """Shared core of the phase-space upconv forms: conv3x3-over-nearest-2x
-    + folded eval-BN + GLU computed at LOW resolution, returning the phase
-    tensor [B, H+1, W+1, (a, b, f)] (halo entries NOT yet discarded).
+    """Core of the phase-space eval tail: conv3x3-over-nearest-2x + folded
+    eval-BN + GLU computed at LOW resolution, returning the phase tensor
+    [B, H+1, W+1, (a, b, f)] (halo entries NOT yet discarded).
     Fusion-critical structure documented in :func:`up2x_bn_glu_rgb_phased`.
-    """
+    (A mid-stage form that interleaved this tensor back to hi-res measured
+    a full-graph LOSS and was deleted — docs/PERFORMANCE.md round 4,
+    queue R4m.)"""
     b, h, w, cin = x.shape
     f2 = k_up.shape[-1]
     f = f2 // 2
@@ -155,38 +157,6 @@ def _up2x_glu_phase_tensor(x: jnp.ndarray, k_up: jnp.ndarray,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, (h,a,b,r)]
     y = y + sh
     return y[..., :4 * f] * jax.nn.sigmoid(y[..., 4 * f:])  # GLU -> (a, b, r)
-
-
-def up2x_bn_glu_phased(x: jnp.ndarray, k_up: jnp.ndarray,
-                       scale: jnp.ndarray,
-                       shift: jnp.ndarray) -> jnp.ndarray:
-    """Mid-stage eval ``UpBlock`` (conv3x3 over nearest-2x + eval-BN + GLU,
-    model.py:104-110) in 2x2 subpixel phase space, interleaved back to high
-    resolution at the end — 1/4 the MXU FLOPs of the input-dilated form,
-    which the round-4 trace shows the TPU conv emitter executes DENSE.
-
-    Unlike the final-stage form (:func:`up2x_bn_glu_rgb_phased`) the
-    consumer needs the interleaved hi-res tensor, so the saving is the
-    FLOP delta minus one data-movement pass: out[2i+a, 2j+c] =
-    g[i+a, j+c, (a, c)] — the four shifted phase slices stack into
-    [B, H, 2, W, 2, F] (one XLA loop fusion) and reshape to
-    [B, 2H, 2W, F].  Halo entries (hi-res rows -1 and 2H) fall outside
-    every slice, so no masking is needed.  Off by default pending the
-    full-graph A/B (``GAN.PHASED_UP``); the round-2 ``subpixel`` variant
-    lost from a similar position because its conv ran as four small
-    unfused matmuls — this form keeps the one folded conv that measured
-    6.37 ms at the 128^2 stage (v2 trace).
-
-    x: [B, H, W, Cin]; k_up: [3, 3, Cin, 2F]; scale/shift: [2F] folded
-    eval-BN affine.  Returns [B, 2H, 2W, F].
-    """
-    b, h, w, _ = x.shape
-    f = k_up.shape[-1] // 2
-    g = _up2x_glu_phase_tensor(x, k_up, scale, shift)
-    g = g.reshape(b, h + 1, w + 1, 2, 2, f)
-    rows = [[g[:, a:a + h, c:c + w, a, c] for c in (0, 1)] for a in (0, 1)]
-    out = jnp.stack([jnp.stack(r, axis=3) for r in rows], axis=2)
-    return out.reshape(b, 2 * h, 2 * w, f)
 
 
 def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,

@@ -128,74 +128,6 @@ def test_up2x_bn_glu_rgb_phased_equals_chain(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_up2x_bn_glu_phased_equals_chain(rng):
-    """The mid-stage phase-space UpBlock (ops/image.py::up2x_bn_glu_phased)
-    is output-equivalent to conv3x3(nearest_up2) + eval-BN affine + GLU
-    (model.py:104-110)."""
-    from t2igan.ops.image import up2x_bn_glu_phased
-
-    def conv(x, k, pad):
-        return jax.lax.conv_general_dilated(
-            x, k, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    for h, w, cin, f in ((5, 7, 3, 4), (8, 8, 6, 5), (1, 1, 2, 2)):
-        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
-        k_up = jnp.asarray(
-            rng.standard_normal((3, 3, cin, 2 * f)).astype(np.float32))
-        scale = jnp.asarray(rng.standard_normal(2 * f).astype(np.float32))
-        shift = jnp.asarray(rng.standard_normal(2 * f).astype(np.float32))
-        chain = glu(conv(upsample_nearest_2x(x), k_up,
-                         ((1, 1), (1, 1))) * scale + shift)
-        phased = up2x_bn_glu_phased(x, k_up, scale, shift)
-        np.testing.assert_allclose(np.asarray(phased), np.asarray(chain),
-                                   rtol=1e-4, atol=1e-4)
-
-
-def test_upblock_phased_up_matches_module_chain(rng, monkeypatch):
-    """UpBlock(phased_up=True) at eval shares the plain path's param tree
-    and output (GAN.PHASED_UP)."""
-    from t2igan.models.generator import UpBlock
-
-    monkeypatch.delenv("T2IGAN_PHASED_UP", raising=False)
-    monkeypatch.delenv("T2IGAN_UPBLOCK", raising=False)
-    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)).astype(np.float32))
-    plain = UpBlock(features=4)
-    variables = plain.init(jax.random.PRNGKey(0), x, False)
-    ref = plain.apply(variables, x, False)
-    phased = UpBlock(features=4, phased_up=True)
-    variables2 = phased.init(jax.random.PRNGKey(0), x, False)
-    assert (jax.tree_util.tree_structure(variables)
-            == jax.tree_util.tree_structure(variables2))
-    out = phased.apply(variables, x, False)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-    # training ignores the flag (BN batch statistics): same apply graph
-    out_t, _ = phased.apply(variables, x, True, mutable=["batch_stats"])
-    ref_t, _ = plain.apply(variables, x, True, mutable=["batch_stats"])
-    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_gnet_phased_up_equivalence(rng, monkeypatch):
-    """GAN.PHASED_UP produces the same eval pyramid as the plain graph."""
-    z, sent, words, pad = _small_gen_inputs(rng)
-    eps = jnp.zeros((B, 20))
-    monkeypatch.delenv("T2IGAN_PHASED_UP", raising=False)
-    plain = GNet(**SMALL)
-    variables = plain.init(
-        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
-        z, sent, words, pad, train=False, ca_eps=eps)
-    imgs0, att0, _, _ = plain.apply(variables, z, sent, words, pad,
-                                    train=False, ca_eps=eps)
-    phased = GNet(**SMALL, phased_up=True)
-    imgs1, att1, _, _ = phased.apply(variables, z, sent, words, pad,
-                                     train=False, ca_eps=eps)
-    assert [i.shape for i in imgs0] == [i.shape for i in imgs1]
-    for a, b in zip(imgs0, imgs1):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
-
-
 def test_gnet_phased_tail_equivalence(rng, monkeypatch):
     """GAN.PHASED_TAIL shares the plain path's param tree and produces the
     same eval pyramid (up to float reassociation)."""
