@@ -126,31 +126,20 @@ def attention_match_scores(words: Array, regions: Array,
     return jax.nn.logsumexp(gamma2 * cos, axis=-1) / gamma2
 
 
-def _use_fused_kernel() -> bool:
-    """The XLA einsum chain is the DEFAULT; ``T2IGAN_FUSED_DAMSM=1`` opts
-    into the Pallas matching-score kernel on TPU backends for A/B
-    re-measurement.
-
-    HONEST-MEASUREMENT CORRECTION (round 4): the round-1 "2.7x step
-    speedup" attributed to the fused kernel was an artifact of a broken
-    wall-clock fence (docs/PERFORMANCE.md round 4, timing honesty).  By
-    device trace span the b48 bf16 DAMSM step runs 29.4 ms/step on the
-    plain einsum graph vs 30.24 ms/step with the kernel — the kernel is a
-    2.8% LOSS at production shape, so the einsum form is the production
-    default."""
-    import os
-
-    if os.environ.get("T2IGAN_FUSED_DAMSM", "0") != "1":
-        return False
-    backend = jax.default_backend()
-    return backend in ("tpu", "axon")
-
-
 def words_loss(regions: Array, words: Array,
                class_ids: Array | None, word_mask: Array | None,
-               gamma1: float, gamma2: float, gamma3: float,
-               fused: bool | None = None):
+               gamma1: float, gamma2: float, gamma3: float):
     """Word-region attention matching loss (losses.py:219-272).
+
+    The XLA einsum chain above is the production form.  A fused Pallas
+    matching-score kernel (row-tiled fwd + flash-style bwd) shipped as the
+    default in rounds 1-3 on the strength of a "2.7x step speedup" that
+    round 4's timing-honesty work exposed as wall-fence fiction: by device
+    trace span the b48 bf16 DAMSM step runs 29.4 ms on this einsum graph
+    vs 30.24 ms with the kernel (a 2.8% loss at production shape), and the
+    round-2 backward A/B had already shown jnp recompute winning at every
+    batch size.  The kernel was deleted (docs/PERFORMANCE.md round 4;
+    implementation preserved at commit e062727^).
 
     Args:
       regions: [B, P, D] image region embeddings.
@@ -164,15 +153,8 @@ def words_loss(regions: Array, words: Array,
       loss), the maps are not produced here — recompute them via
       :func:`t2igan.ops.attention.word_region_attention` for visualization.
     """
-    if fused is None:
-        fused = _use_fused_kernel()
-    if fused:
-        from t2igan.ops.pallas.damsm_attn import attention_match_scores_fused
-        similarities = attention_match_scores_fused(
-            words, regions, word_mask, gamma1, gamma2) * gamma3
-    else:
-        similarities = attention_match_scores(
-            words, regions, word_mask, gamma1, gamma2) * gamma3  # [B_t, B_i]
+    similarities = attention_match_scores(
+        words, regions, word_mask, gamma1, gamma2) * gamma3  # [B_t, B_i]
     if class_ids is not None:
         similarities = jnp.where(_class_mask(class_ids), NEG_INF, similarities)
     loss0 = _cross_entropy_rows(similarities)
