@@ -107,6 +107,16 @@ class GanConfig:
     # 4).  Training always uses the module chain (BN batch statistics).
     # T2IGAN_PHASED_TAIL=0/1 is the env A/B override.
     PHASED_TAIL: bool = True
+    # TRAIN-mode counterpart of PHASED_TAIL: the final stage's training
+    # tail (upconv + batch-stat BN + GLU + RGB head) in 2x2 subpixel phase
+    # space — 1/4 the upconv/RGB conv FLOPs in the forward AND both
+    # gradients, and the [B, 2H, 2W, 2F] feature tensor (plus the
+    # activation `reverse` passes of its dilated input gradient) never
+    # exists in HBM.  Batch statistics are computed halo-masked in phase
+    # space (ops/image.py::phase_batch_stats) and running stats update
+    # identically to the module chain.  OFF pending the full-graph chip
+    # A/B.  T2IGAN_PHASED_TAIL_TRAIN=0/1 is the env A/B override.
+    PHASED_TAIL_TRAIN: bool = False
 
 
 @_frozen

@@ -31,6 +31,12 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         logging.getLogger("t2igan").warning(
             "Phased eval tail overridden by T2IGAN_PHASED_TAIL=%s "
             "(config GAN.PHASED_TAIL=%s)", env, cfg.GAN.PHASED_TAIL)
+    env = os.environ.get("T2IGAN_PHASED_TAIL_TRAIN")
+    if env is not None and (env == "1") != cfg.GAN.PHASED_TAIL_TRAIN:
+        logging.getLogger("t2igan").warning(
+            "Phased train tail overridden by T2IGAN_PHASED_TAIL_TRAIN=%s "
+            "(config GAN.PHASED_TAIL_TRAIN=%s)", env,
+            cfg.GAN.PHASED_TAIL_TRAIN)
     return cls(
         gf_dim=cfg.GAN.GF_DIM,
         nef=cfg.TEXT.EMBEDDING_DIM,
@@ -41,6 +47,7 @@ def build_generator(cfg: Config, dtype: Any = jnp.float32):
         upblock=cfg.GAN.UPBLOCK,
         fused_tail=cfg.GAN.FUSED_TAIL,
         phased_tail=cfg.GAN.PHASED_TAIL,
+        phased_tail_train=cfg.GAN.PHASED_TAIL_TRAIN,
     )
 
 

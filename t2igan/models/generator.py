@@ -35,7 +35,9 @@ import jax.numpy as jnp
 
 from t2igan.ops.attention import memory_read
 from t2igan.ops.image import (conv3x3_on_up2x, conv3x3_on_up2x_dilated,
-                              up2x_bn_glu_rgb_phased, upsample_nearest_2x)
+                              phase_batch_stats, phase_bn_glu_rgb_train,
+                              up2x_bn_glu_rgb_phased, up2x_phase_conv,
+                              upsample_nearest_2x)
 
 Array = jnp.ndarray
 
@@ -75,14 +77,65 @@ def use_fused_tail(flag: bool, train: bool) -> bool:
                                "1" if flag else "0") == "1")
 
 
+def use_phased_tail_train(flag: bool, train: bool) -> bool:
+    """Trace-time decision for the TRAIN-mode phase-space tail (config
+    ``GAN.PHASED_TAIL_TRAIN`` with the ``T2IGAN_PHASED_TAIL_TRAIN`` env
+    A/B override): the final stage's training tail (upconv + batch-stat
+    BN + GLU + RGB head) runs in 2x2 subpixel phase space with halo-masked
+    batch statistics (ops/image.py::phase_batch_stats)."""
+    import os
+
+    return (train
+            and os.environ.get("T2IGAN_PHASED_TAIL_TRAIN",
+                               "1" if flag else "0") == "1")
+
+
+class _BNStats(nn.Module):
+    """Declares the IDENTICAL parameter/variable tree as ``nn.BatchNorm``
+    (params ``scale``/``bias``, batch_stats ``mean``/``var`` — same names,
+    shapes, dtypes, inits) for paths that normalize OUTSIDE the module
+    (the phase-space train tail, where the statistics are computed from
+    the phase tensor): given freshly computed batch ``(mean, var)`` it
+    performs the same momentum-0.9 running-average update and returns the
+    ``(scale, bias)`` affine params."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, stats):
+        mean, var = stats
+        scale = self.param("scale", bn_scale_init, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (self.features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (self.features,))
+        if not self.is_initializing():
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        return scale, bias
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-parity defaults (momentum 0.1, eps 1e-5) and the
-    reference's N(1, 0.02) scale init."""
+    reference's N(1, 0.02) scale init.
+
+    ``stats=(mean, var)`` selects the external-normalization mode: the
+    identical param/variable tree is declared (so checkpoints and the
+    torch converters are unaffected), the running stats update from the
+    provided batch statistics exactly as ``nn.BatchNorm`` would, and the
+    raw ``(scale, bias)`` params are returned for the caller to apply —
+    used by the phase-space train tail, whose statistics come from the
+    halo-masked phase tensor."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, stats=None):
+        if stats is not None:
+            return _BNStats(stats[0].shape[-1], name="BatchNorm_0")(stats)
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             scale_init=bn_scale_init, dtype=self.dtype)(x)
@@ -171,7 +224,8 @@ class UpBlock(nn.Module):
     variant: str = "dilated"
 
     @nn.compact
-    def __call__(self, x, train: bool, fold: bool = False):
+    def __call__(self, x, train: bool, fold: bool = False,
+                 phase_train: bool = False):
         import os
 
         if fold:
@@ -180,6 +234,20 @@ class UpBlock(nn.Module):
             scale, shift = _bn_affine(BatchNorm(self.dtype,
                                                 name="BatchNorm_0"), f2)
             return kernel, scale, shift
+        if phase_train:
+            # TRAIN-mode phase-space form (GAN.PHASED_TAIL_TRAIN): the raw
+            # pre-BN phase tensor, its halo-masked batch statistics, and
+            # the BN affine params — running stats update exactly as the
+            # module chain's nn.BatchNorm (same param tree).  The caller
+            # finishes with ops/image.py::phase_bn_glu_rgb_train.
+            f2 = self.features * 2
+            kernel = _Conv3x3Param(f2, name="Conv_0")(x.shape[-1])
+            y = up2x_phase_conv(x.astype(self.dtype),
+                                kernel.astype(self.dtype))
+            mean, var = phase_batch_stats(y)
+            scale, bias = BatchNorm(self.dtype, name="BatchNorm_0")(
+                y, train, stats=(mean, var))
+            return y, mean, var, scale, bias
 
         variant = os.environ.get("T2IGAN_UPBLOCK", self.variant)
         if variant == "naive":
@@ -296,6 +364,7 @@ class NextStageG(nn.Module):
     upblock: str = "dilated"
     fused_tail: bool = False
     phased_tail: bool = False
+    phased_tail_train: bool = False
 
     @nn.compact
     def __call__(self, h_code: Array, word_embs: Array,
@@ -373,6 +442,19 @@ class NextStageG(nn.Module):
                 return up2x_bn_glu_rgb_phased(
                     h_new.astype(self.dtype), k_up.astype(self.dtype),
                     up_s, up_b, rgb_kernel.astype(self.dtype))
+            if (rgb_kernel is not None
+                    and use_phased_tail_train(self.phased_tail_train,
+                                              train)):
+                # Final stage, TRAIN: same phase-space tail with
+                # batch-statistics BN — the UpBlock computes the raw phase
+                # conv + halo-masked stats and updates its running stats
+                # exactly as the module chain; the affine/GLU/RGB/tanh
+                # finish stays rank-4 flat-channel (GAN.PHASED_TAIL_TRAIN).
+                y, mean, var, bn_s, bn_b = UpBlock(
+                    self.ngf, self.dtype, self.upblock)(h_new, train,
+                                                        phase_train=True)
+                return phase_bn_glu_rgb_train(
+                    y, mean, var, bn_s, bn_b, rgb_kernel.astype(self.dtype))
             # (Two retired A/B levers once lived here, both measured as
             # full-graph losses — docs/PERFORMANCE.md round 4:
             # T2IGAN_LAYOUT_PIN (row-major pin before the stage-3 upconv,
@@ -471,6 +553,7 @@ class GNet(nn.Module):
     upblock: str = "dilated"
     fused_tail: bool = False
     phased_tail: bool = False
+    phased_tail_train: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -492,10 +575,12 @@ class GNet(nn.Module):
         for i in range(1, self.branch_num):
             stage = NextStageG(ngf, self.nef, self.num_residual,
                                self.dtype, self.upblock, self.fused_tail,
-                               self.phased_tail)
+                               self.phased_tail, self.phased_tail_train)
             last = i == self.branch_num - 1
             if last and (use_fused_tail(self.fused_tail, train)
-                         or use_phased_tail(self.phased_tail, train)):
+                         or use_phased_tail(self.phased_tail, train)
+                         or use_phased_tail_train(self.phased_tail_train,
+                                                  train)):
                 # Final stage, eval: fold the RGB head into the fused stage
                 # tail — the [B, 2H, 2W, ngf] feature map never
                 # materializes (its only consumer is this head).  Module
@@ -528,6 +613,7 @@ class GDCGan(nn.Module):
     upblock: str = "dilated"
     fused_tail: bool = False
     phased_tail: bool = False
+    phased_tail_train: bool = False
 
     @nn.compact
     def __call__(self, z_code: Array, sent_emb: Array, word_embs: Array,
@@ -543,10 +629,12 @@ class GDCGan(nn.Module):
         for i in range(1, self.branch_num):
             stage = NextStageG(ngf, self.nef, self.num_residual,
                                self.dtype, self.upblock, self.fused_tail,
-                               self.phased_tail)
+                               self.phased_tail, self.phased_tail_train)
             last = i == self.branch_num - 1
             if last and (use_fused_tail(self.fused_tail, train)
-                         or use_phased_tail(self.phased_tail, train)):
+                         or use_phased_tail(self.phased_tail, train)
+                         or use_phased_tail_train(self.phased_tail_train,
+                                                  train)):
                 head = GetImageG(self.dtype)
                 rgb_k = head(h_code, fold=True)
                 img, attn = stage(h_code, word_embs, pad_mask, train,

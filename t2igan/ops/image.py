@@ -132,6 +132,33 @@ _UP2X_RGB_PHASE = (
 )
 
 
+def up2x_phase_conv(x: jnp.ndarray, k_up: jnp.ndarray,
+                    scale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """The UpBlock conv (conv3x3 over nearest-2x, model.py:104-107) as ONE
+    folded 2x2 conv in subpixel phase space: output channels ordered
+    (GLU half h, row phase a, col phase b, feature r) so downstream affine
+    and GLU stay flat rank-4 channel ops (fusion-critical — see
+    :func:`up2x_bn_glu_rgb_phased`).  Returns [B, H+1, W+1, 8F]; halo
+    entries (hi-res rows -1 / 2H) not yet discarded.
+
+    ``scale`` (the eval path) folds a per-hi-res-channel BN scale into the
+    kernel columns before the conv; the train path omits it (batch stats
+    are computed from the RAW conv output first)."""
+    b, h, w, cin = x.shape
+    f2 = k_up.shape[-1]
+    f = f2 // 2
+    m = jnp.asarray(_UP2X_PHASE, k_up.dtype)
+    k5 = k_up.reshape(3, 3, cin, 2, f)  # split Cout into (GLU half, feature)
+    k2 = jnp.einsum("apu,bqv,uvihr->pqihabr", m, m, k5)
+    if scale is not None:
+        # broadcast (h, r) over the (a, b) phases
+        k2 = k2 * scale.astype(k2.dtype).reshape(2, 1, 1, f)
+    k2 = k2.reshape(2, 2, cin, 4 * f2).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, (h,a,b,r)]
+
+
 def _up2x_glu_phase_tensor(x: jnp.ndarray, k_up: jnp.ndarray,
                            scale: jnp.ndarray,
                            shift: jnp.ndarray) -> jnp.ndarray:
@@ -142,21 +169,51 @@ def _up2x_glu_phase_tensor(x: jnp.ndarray, k_up: jnp.ndarray,
     (A mid-stage form that interleaved this tensor back to hi-res measured
     a full-graph LOSS and was deleted — docs/PERFORMANCE.md round 4,
     queue R4m.)"""
-    b, h, w, cin = x.shape
-    f2 = k_up.shape[-1]
-    f = f2 // 2
-    m = jnp.asarray(_UP2X_PHASE, k_up.dtype)
-    k5 = k_up.reshape(3, 3, cin, 2, f)  # split Cout into (GLU half, feature)
-    k2 = jnp.einsum("apu,bqv,uvihr->pqihabr", m, m, k5)
-    sc = scale.astype(k2.dtype).reshape(2, 1, 1, f)  # broadcast over (a, b)
-    k2 = (k2 * sc).reshape(2, 2, cin, 4 * f2).astype(x.dtype)
+    f = k_up.shape[-1] // 2
+    y = up2x_phase_conv(x, k_up, scale)
     sh = jnp.broadcast_to(shift.astype(x.dtype).reshape(2, 1, f),
-                          (2, 4, f)).reshape(4 * f2)
-    y = jax.lax.conv_general_dilated(
-        x, k2, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, (h,a,b,r)]
+                          (2, 4, f)).reshape(8 * f)
     y = y + sh
     return y[..., :4 * f] * jax.nn.sigmoid(y[..., 4 * f:])  # GLU -> (a, b, r)
+
+
+def _phase_halo_masks(h: int, w: int):
+    """Row/col validity factors of the phase grid: entry [t, p] is 0 iff
+    phase-tensor row t at row-phase p maps outside the hi-res image (row
+    -1 for odd phases at t=0, row 2H for even phases at t=H).  Shared by
+    the halo zeroing and the phase-space batch statistics."""
+    rm = np.ones((h + 1, 2), np.float32)
+    rm[0, 1] = 0.0
+    rm[h, 0] = 0.0
+    cm = np.ones((w + 1, 2), np.float32)
+    cm[0, 1] = 0.0
+    cm[w, 0] = 0.0
+    return rm, cm
+
+
+def phase_batch_stats(y: jnp.ndarray):
+    """Batch statistics of the hi-res pre-GLU UpBlock output, computed
+    from its phase form ``y`` [B, H+1, W+1, (h, a, b, r)] — mean/var per
+    hi-res channel (h, r) over (N, 2H, 2W), i.e. over the four phase
+    slices restricted to their valid windows (each hi-res element appears
+    in the phase grid exactly once; halo entries are masked out).
+
+    Mirrors ``flax.linen.normalization._compute_stats``: f32 reductions,
+    fast variance ``max(0, E[x^2] - E[x]^2)``.  Returns (mean, var), each
+    f32 [2F] in the conv output's channel order."""
+    b, r_, c_, c8 = y.shape
+    h, w = r_ - 1, c_ - 1
+    f = c8 // 8
+    rm, cm = _phase_halo_masks(h, w)
+    rm = jnp.asarray(rm)
+    cm = jnp.asarray(cm)
+    y7 = y.reshape(b, r_, c_, 2, 2, 2, f).astype(jnp.float32)
+    count = b * 2 * h * 2 * w
+    s1 = jnp.einsum("nRChabr,Ra,Cb->hr", y7, rm, cm) / count
+    s2 = jnp.einsum("nRChabr,Ra,Cb->hr", jnp.square(y7), rm, cm) / count
+    mean = s1.reshape(2 * f)
+    var = jnp.maximum(0.0, s2 - jnp.square(s1)).reshape(2 * f)
+    return mean, var
 
 
 def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,
@@ -218,14 +275,19 @@ def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,
     #    flat channel split;
     #  * the halo mask is two rank-2 row/col broadcast factors.
     g = _up2x_glu_phase_tensor(x, k_up, scale, shift)  # [B, H+1, W+1, (a,b,r)]
+    return _phase_rgb_tail(g, k_rgb)
+
+
+def _phase_rgb_tail(g: jnp.ndarray, k_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Back half of the phased tail: halo zeroing + RGB head + tanh +
+    interleave on the post-GLU phase tensor ``g`` [B, H+1, W+1, (a,b,r)].
+    Returns [B, 2H, 2W, 3] in [-1, 1]."""
+    b, r_, c_, c4 = g.shape
+    h, w = r_ - 1, c_ - 1
+    f = c4 // 4
     # Zero the out-of-image halo entries (hi-res rows -1 and 2H): row factor
     # depends on (row, a), col factor on (col, b), broadcast over features.
-    rm = np.ones((h + 1, 2), np.float32)
-    rm[0, 1] = 0.0
-    rm[h, 0] = 0.0
-    cm = np.ones((w + 1, 2), np.float32)
-    cm[0, 1] = 0.0
-    cm[w, 0] = 0.0
+    rm, cm = _phase_halo_masks(h, w)
     rowm = np.broadcast_to(rm[:, :, None],
                            (h + 1, 2, 2 * f)).reshape(h + 1, 4 * f)
     colm = np.broadcast_to(cm[:, None, :, None],
@@ -237,12 +299,48 @@ def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,
     # the K3 taps routed by _UP2X_RGB_PHASE.
     r = jnp.asarray(_UP2X_RGB_PHASE, k_rgb.dtype)
     kr = jnp.einsum("apxu,gqcv,uvfo->pqxcfago", r, r, k_rgb)
-    kr = kr.reshape(2, 2, 4 * f, 12).astype(x.dtype)
+    kr = kr.reshape(2, 2, 4 * f, 12).astype(g.dtype)
     rgb = jax.lax.conv_general_dilated(
         g, kr, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H, W, (a, c, 3)]
     rgb = jnp.tanh(rgb).reshape(b, h, w, 2, 2, 3)
     return rgb.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, 3)
+
+
+def phase_bn_glu_rgb_train(y: jnp.ndarray, mean: jnp.ndarray,
+                           var: jnp.ndarray, scale: jnp.ndarray,
+                           bias: jnp.ndarray, k_rgb: jnp.ndarray,
+                           epsilon: float = 1e-5) -> jnp.ndarray:
+    """TRAIN-mode back half of the phased tail: batch-stat BatchNorm + GLU
+    + RGB head + tanh + interleave on the RAW pre-BN phase tensor ``y``
+    (:func:`up2x_phase_conv` output, [B, H+1, W+1, (h, a, b, r)]).
+
+    Unlike the eval form the BN affine cannot fold into the conv kernel
+    (the statistics come from the conv output itself), so normalization is
+    one per-channel multiply-add epilogue on the conv's own rank-4 shape —
+    an XLA-fusable elementwise pass, exactly what the module chain pays
+    for its BN apply.  The savings vs the module chain are the 4x conv
+    FLOPs (forward AND both gradients — the train step runs this stage
+    twice per iteration, once per caption view) and the hi-res feature
+    tensor's HBM round-trips, including the [B, 2H, 2W, 2F] activation
+    `reverse` passes XLA emits for the dilated form's input gradient.
+
+    mean/var: f32 [2F] batch stats (:func:`phase_batch_stats`);
+    scale/bias: the BatchNorm affine params [2F].  Math mirrors
+    ``flax.linen.normalization._normalize`` (f32 affine, cast to y.dtype)
+    followed by GLU.  Returns [B, 2H, 2W, 3] in [-1, 1]."""
+    c8 = y.shape[-1]
+    f = c8 // 8
+    s = scale.astype(jnp.float32) * jax.lax.rsqrt(var + epsilon)  # [2F]
+    t = bias.astype(jnp.float32) - mean * s
+    # broadcast hi-res channels (h, r) over the (a, b) phases, flat rank-4;
+    # affine in f32 then cast (flax _normalize order), GLU in y.dtype —
+    # all one fusable elementwise pass (converts are register-level).
+    s_full = jnp.broadcast_to(s.reshape(2, 1, 1, f), (2, 2, 2, f)).reshape(c8)
+    t_full = jnp.broadcast_to(t.reshape(2, 1, 1, f), (2, 2, 2, f)).reshape(c8)
+    g = (y * s_full + t_full).astype(y.dtype)
+    g = g[..., :4 * f] * jax.nn.sigmoid(g[..., 4 * f:])  # GLU -> (a, b, r)
+    return _phase_rgb_tail(g, k_rgb)
 
 
 def resize_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:

@@ -152,6 +152,110 @@ def test_gnet_phased_tail_equivalence(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_phase_batch_stats_matches_flax(rng):
+    """phase_batch_stats computes EXACTLY the statistics flax's
+    nn.BatchNorm would compute on the hi-res pre-GLU UpBlock output
+    (mean/var per channel over (N, 2H, 2W)): halo-masked reduction over
+    the phase tensor, f32, fast variance."""
+    from flax.linen.normalization import _compute_stats
+    from t2igan.ops.image import phase_batch_stats, up2x_phase_conv
+
+    for h, w, cin, f in ((5, 7, 3, 4), (8, 8, 6, 5), (1, 1, 2, 2)):
+        x = jnp.asarray(rng.standard_normal((3, h, w, cin)).astype(np.float32))
+        k_up = jnp.asarray(
+            rng.standard_normal((3, 3, cin, 2 * f)).astype(np.float32))
+        hi = jax.lax.conv_general_dilated(
+            upsample_nearest_2x(x), k_up, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ref_mean, ref_var = _compute_stats(hi, (0, 1, 2), dtype=None)
+        mean, var = phase_batch_stats(up2x_phase_conv(x, k_up))
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(ref_var),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_phase_bn_glu_rgb_train_matches_chain(rng):
+    """The train-mode phased tail (raw phase conv + halo-masked batch
+    stats + phase_bn_glu_rgb_train) is output-equivalent to the module
+    chain: conv3x3(nearest_up2) + batch-stat BN + GLU + conv3x3->3 + tanh
+    (model.py:104-110 + 536-547)."""
+    from t2igan.ops.image import (phase_batch_stats, phase_bn_glu_rgb_train,
+                                  up2x_phase_conv)
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for h, w, cin, f in ((5, 7, 3, 4), (8, 8, 6, 5), (1, 1, 2, 2)):
+        x = jnp.asarray(rng.standard_normal((3, h, w, cin)).astype(np.float32))
+        k_up = jnp.asarray(
+            rng.standard_normal((3, 3, cin, 2 * f)).astype(np.float32))
+        gamma = jnp.asarray(
+            (1 + 0.1 * rng.standard_normal(2 * f)).astype(np.float32))
+        beta = jnp.asarray(rng.standard_normal(2 * f).astype(np.float32))
+        k_rgb = jnp.asarray(
+            rng.standard_normal((3, 3, f, 3)).astype(np.float32))
+        hi = conv(upsample_nearest_2x(x), k_up)
+        mu = jnp.mean(hi, axis=(0, 1, 2))
+        var_ref = jnp.mean(jnp.square(hi), axis=(0, 1, 2)) - jnp.square(mu)
+        norm = (hi - mu) * jax.lax.rsqrt(var_ref + 1e-5) * gamma + beta
+        chain = jnp.tanh(conv(glu(norm), k_rgb))
+        y = up2x_phase_conv(x, k_up)
+        mean, var = phase_batch_stats(y)
+        phased = phase_bn_glu_rgb_train(y, mean, var, gamma, beta, k_rgb)
+        np.testing.assert_allclose(np.asarray(phased), np.asarray(chain),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gnet_phased_tail_train_equivalence(rng, monkeypatch):
+    """GAN.PHASED_TAIL_TRAIN shares the plain path's param tree and
+    produces the same TRAIN-mode pyramid, the same updated running
+    batch_stats, and the same parameter gradients (up to float
+    reassociation)."""
+    z, sent, words, pad = _small_gen_inputs(rng)
+    eps = jnp.zeros((B, 20))
+    monkeypatch.delenv("T2IGAN_PHASED_TAIL_TRAIN", raising=False)
+    plain = GNet(**SMALL)
+    variables = plain.init(
+        {"params": jax.random.PRNGKey(0), "gaussian": jax.random.PRNGKey(1)},
+        z, sent, words, pad, train=True, ca_eps=eps)
+    phased = GNet(**SMALL, phased_tail_train=True)
+
+    def run(model):
+        def loss_fn(params):
+            (imgs, att, _, _), upd = model.apply(
+                {**variables, "params": params}, z, sent, words, pad,
+                train=True, ca_eps=eps, mutable=["batch_stats"])
+            return sum(jnp.mean(jnp.square(i)) for i in imgs), (imgs, upd)
+        (loss, (imgs, upd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        return loss, imgs, upd, grads
+
+    loss0, imgs0, upd0, g0 = run(plain)
+    loss1, imgs1, upd1, g1 = run(phased)
+    assert [i.shape for i in imgs0] == [i.shape for i in imgs1]
+    for a, b in zip(imgs0, imgs1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    # identical running-stat updates (paths AND values)
+    f0 = jax.tree_util.tree_leaves_with_path(upd0["batch_stats"])
+    f1 = jax.tree_util.tree_leaves_with_path(upd1["batch_stats"])
+    assert [p for p, _ in f0] == [p for p, _ in f1]
+    for (_, a), (_, b) in zip(f0, f1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # identical parameter gradients through the phase-space tail
+    np.testing.assert_allclose(loss0, loss1, rtol=1e-5)
+    for (p0, a), (p1, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                                jax.tree_util.tree_leaves_with_path(g1)):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=str(p0))
+
+
 @pytest.mark.slow
 def test_generator_pyramid_shapes(rng):
     model = GNet(**SMALL)

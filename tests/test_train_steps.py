@@ -143,6 +143,35 @@ def test_gan_step_trains(gan_setup):
         assert max(jax.tree.leaves(sm)) > 0
 
 
+def test_gan_step_phased_tail_train_matches_default(gan_setup, monkeypatch):
+    """The full adversarial step with GAN.PHASED_TAIL_TRAIN produces the
+    same metrics and the same updated state as the module-chain graph (up
+    to float reassociation in the phase-space tail)."""
+    clip_model, clip_vars, gen, ds, state, step = gan_setup
+    batch = _gan_batch(np.random.default_rng(3))
+    key = jax.random.PRNGKey(4)
+    s0, m0 = step(state, clip_vars["params"], batch, key)
+    monkeypatch.setenv("T2IGAN_PHASED_TAIL_TRAIN", "1")
+    g_tx, d_tx = gan_optimizers(CFG)
+    step1 = jax.jit(make_gan_step(CFG, clip_model, gen, ds, g_tx, d_tx))
+    s1, m1 = step1(state, clip_vars["params"], batch, key)
+    for k in m0:
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]),
+                                   rtol=5e-4, atol=5e-5, err_msg=k)
+    for (p0, a), (p1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s0.g_params),
+            jax.tree_util.tree_leaves_with_path(s1.g_params)):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5, err_msg=str(p0))
+    for (p0, a), (p1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s0.g_batch_stats),
+            jax.tree_util.tree_leaves_with_path(s1.g_batch_stats)):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(p0))
+
+
 def test_gan_step_data_parallel(gan_setup):
     """The same step under a Mesh('data') with the batch sharded 8-ways."""
     _, clip_vars, _, _, state, step = gan_setup
