@@ -13,10 +13,13 @@ softmax and the readout without the attention ever leaving the chip.
 Used on both the inference AND the training path (``return_attn=False``):
 the ``custom_vjp`` pairs this forward with the flash-style Pallas backward
 below, which re-computes the attention per pixel tile and accumulates
-dQ/dK/dV in f32 VMEM scratch — switching training onto it took the full
-adversarial step from 131.6 to 288.9 steps/sec at batch 16 bf16
-(PERFORMANCE.md).  Only the visualization path (``return_attn=True``) still
-takes the jnp route, since it needs the explicit maps.
+dQ/dK/dV in f32 VMEM scratch.  Honest device-trace-span verdicts (queue
+R4m, docs/PERFORMANCE.md round 4): **+19% on the full eval graph** and
+**+6.9% on the adversarial train step** (83.11 vs 88.88 ms/step b16 bf16
+against the einsum form) — the round-1 "131.6 → 288.9 steps/sec" claim
+was wall-fence fiction and is retracted.  Only the visualization path
+(``return_attn=True``) still takes the jnp route, since it needs the
+explicit maps.
 """
 
 from __future__ import annotations
