@@ -114,9 +114,11 @@ class GanConfig:
     # activation `reverse` passes of its dilated input gradient) never
     # exists in HBM.  Batch statistics are computed halo-masked in phase
     # space (ops/image.py::phase_batch_stats) and running stats update
-    # identically to the module chain.  OFF pending the full-graph chip
-    # A/B.  T2IGAN_PHASED_TAIL_TRAIN=0/1 is the env A/B override.
-    PHASED_TAIL_TRAIN: bool = False
+    # identically to the module chain.  ON by default: measured 80.91 vs
+    # 83.11 ms/step (+2.7% by device trace span, b16 bf16, queue r5a; the
+    # 256^2-family on-op time fell 22.9 -> 2.3 ms/step).
+    # T2IGAN_PHASED_TAIL_TRAIN=0/1 is the env A/B override.
+    PHASED_TAIL_TRAIN: bool = True
 
 
 @_frozen

@@ -132,6 +132,50 @@ _UP2X_RGB_PHASE = (
 )
 
 
+@jax.custom_vjp
+def _phase_conv2x2(x: jnp.ndarray, k2: jnp.ndarray) -> jnp.ndarray:
+    """2x2 conv with SAME-1 padding ([B, H, W, Cin] -> [B, H+1, W+1, Co])
+    whose backward is hand-written with KERNEL-side spatial flips.
+
+    Why a custom VJP for a plain conv: XLA's autodiff emission for this
+    conv's input gradient reverses the [B, H+1, W+1, Co] COTANGENT
+    (`reverse` over dims {1,2} — a full 0.8 ms HBM pass per caption view
+    at the train tail's production shape, trace .profiles/train_r5_pt)
+    and then feeds the reversed tensor to the filter gradient too.  The
+    same math with the flip moved onto the [2, 2, Cin, Co] kernel is
+    free.  Forward is byte-identical (same conv op); backward values are
+    identical convolutions, just lowered without the activation reversal.
+    """
+    return jax.lax.conv_general_dilated(
+        x, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _phase_conv2x2_fwd(x, k2):
+    return _phase_conv2x2(x, k2), (x, k2)
+
+
+def _phase_conv2x2_bwd(res, dy):
+    x, k2 = res
+    # dx[t] = sum_p dy[t + 1 - p] k[p]: VALID correlation of dy with the
+    # spatially flipped, io-transposed kernel (sizes: (H+1) - 2 + 1 = H).
+    kt = jnp.flip(k2, (0, 1)).transpose(0, 1, 3, 2)  # [2, 2, Co, Cin]
+    dx = jax.lax.conv_general_dilated(
+        dy, kt, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # dw[p,q,ci,co] = sum_{n,i,j} xpad[n,i+p,j+q,ci] dy[n,i,j,co]: a VALID
+    # conv contracting the batch dim — expressed via dimension_numbers
+    # (batch<->feature swap on the lhs) so no physical transpose is paid.
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = jax.lax.conv_general_dilated(
+        xpad, dy, (1, 1), "VALID",
+        dimension_numbers=("CHWN", "IHWO", "NHWC"))  # [Cin, 2, 2, Co]
+    return dx, dw.transpose(1, 2, 0, 3)
+
+
+_phase_conv2x2.defvjp(_phase_conv2x2_fwd, _phase_conv2x2_bwd)
+
+
 def up2x_phase_conv(x: jnp.ndarray, k_up: jnp.ndarray,
                     scale: jnp.ndarray | None = None) -> jnp.ndarray:
     """The UpBlock conv (conv3x3 over nearest-2x, model.py:104-107) as ONE
@@ -154,9 +198,7 @@ def up2x_phase_conv(x: jnp.ndarray, k_up: jnp.ndarray,
         # broadcast (h, r) over the (a, b) phases
         k2 = k2 * scale.astype(k2.dtype).reshape(2, 1, 1, f)
     k2 = k2.reshape(2, 2, cin, 4 * f2).astype(x.dtype)
-    return jax.lax.conv_general_dilated(
-        x, k2, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # [B, H+1, W+1, (h,a,b,r)]
+    return _phase_conv2x2(x, k2)  # [B, H+1, W+1, (h, a, b, r)]
 
 
 def _up2x_glu_phase_tensor(x: jnp.ndarray, k_up: jnp.ndarray,
@@ -200,20 +242,65 @@ def phase_batch_stats(y: jnp.ndarray):
 
     Mirrors ``flax.linen.normalization._compute_stats``: f32 reductions,
     fast variance ``max(0, E[x^2] - E[x]^2)``.  Returns (mean, var), each
-    f32 [2F] in the conv output's channel order."""
+    f32 [2F] in the conv output's channel order.
+
+    FUSION-CRITICAL FORM: the first implementation masked the halo with a
+    ``einsum("nRChabr,Ra,Cb->hr", ...)``, which XLA lowered as multiple
+    full f32[H+1, W+1, 8F] intermediates (a partial batch-only reduce, a
+    reshape sea, and — in the BACKWARD — materialized f32 mask-product
+    passes feeding the dy of every consumer; ~4-5 ms/step of the phased
+    train tail's 16.4 ms at production shape, trace
+    .profiles/train_r5_pt).  This form instead takes ONE clean full
+    reduce over the raw tensor and SUBTRACTS the four invalid boundary
+    lines (inclusion-exclusion adds the doubly-removed corners back):
+    the full reduce's backward is a broadcast constant and the line
+    corrections' backwards are pads of thin slices — no masked full-size
+    pass anywhere."""
     b, r_, c_, c8 = y.shape
     h, w = r_ - 1, c_ - 1
     f = c8 // 8
-    rm, cm = _phase_halo_masks(h, w)
-    rm = jnp.asarray(rm)
-    cm = jnp.asarray(cm)
-    y7 = y.reshape(b, r_, c_, 2, 2, 2, f).astype(jnp.float32)
     count = b * 2 * h * 2 * w
-    s1 = jnp.einsum("nRChabr,Ra,Cb->hr", y7, rm, cm) / count
-    s2 = jnp.einsum("nRChabr,Ra,Cb->hr", jnp.square(y7), rm, cm) / count
-    mean = s1.reshape(2 * f)
-    var = jnp.maximum(0.0, s2 - jnp.square(s1)).reshape(2 * f)
-    return mean, var
+
+    def ch(t):
+        # channel split [..., 8F] -> [..., (h, a, b, r)]
+        return t.reshape(t.shape[:-1] + (2, 2, 2, f))
+
+    def sums(t, axes):
+        tf = t.astype(jnp.float32)
+        return jnp.sum(tf, axes), jnp.sum(jnp.square(tf), axes)
+
+    # one full reduce over the raw conv output (fuses with its producer)
+    s1_all, s2_all = sums(y, (0, 1, 2))                       # [8F]
+    # boundary lines (thin slices; their backwards are pads, not masks):
+    # phase row 0 is invalid at row-phase a=1, row H at a=0; col 0 at
+    # col-phase b=1, col W at b=0.
+    r0_1, r0_2 = sums(ch(y[:, 0]), (0, 1))                    # [2,2,2,f]
+    rh_1, rh_2 = sums(ch(y[:, h]), (0, 1))
+    c0_1, c0_2 = sums(ch(y[:, :, 0]), (0, 1))
+    cw_1, cw_2 = sums(ch(y[:, :, w]), (0, 1))
+    # corners, doubly removed by the row+col subtractions
+    c00_1, c00_2 = sums(ch(y[:, 0, 0]), (0,))
+    c0w_1, c0w_2 = sums(ch(y[:, 0, w]), (0,))
+    ch0_1, ch0_2 = sums(ch(y[:, h, 0]), (0,))
+    chw_1, chw_2 = sums(ch(y[:, h, w]), (0,))
+
+    def valid(s_all, r0, rh, c0, cw, c00, c0w, ch0, chw):
+        s = ch(s_all)                                        # [2,2,2,f]
+        row_sub = jnp.stack([rh[:, 0], r0[:, 1]], axis=1)    # a=0 <- row H
+        col_sub = jnp.stack([cw[:, :, 0], c0[:, :, 1]], axis=2)
+        corner = jnp.stack([
+            jnp.stack([chw[:, 0, 0], ch0[:, 0, 1]], axis=1),  # a=0: b=0,1
+            jnp.stack([c0w[:, 1, 0], c00[:, 1, 1]], axis=1),  # a=1: b=0,1
+        ], axis=1)                                           # [2,2,2,f]
+        v = s - row_sub - col_sub + corner
+        return jnp.sum(v, axis=(1, 2)).reshape(2 * f)        # over (a, b)
+
+    s1 = valid(s1_all, r0_1, rh_1, c0_1, cw_1,
+               c00_1, c0w_1, ch0_1, chw_1) / count
+    s2 = valid(s2_all, r0_2, rh_2, c0_2, cw_2,
+               c00_2, c0w_2, ch0_2, chw_2) / count
+    var = jnp.maximum(0.0, s2 - jnp.square(s1))
+    return s1, var
 
 
 def up2x_bn_glu_rgb_phased(x: jnp.ndarray, k_up: jnp.ndarray,

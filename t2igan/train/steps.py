@@ -71,22 +71,28 @@ def make_damsm_loss(cfg: Config, clip_model: ClipWithRegionHead):
     def loss_fn(params, batch):
         variables = {"params": params}
 
-        def text(ids, mask):
-            words, sent = clip_model.apply(
-                variables, ids, mask,
-                method=ClipWithRegionHead.encode_text_verbose)
-            # the reference reads sentence embeddings from CLIPModel.forward,
-            # which l2-normalizes them (see models/clip.py)
-            return words, _l2n(sent)
-
         subr, img_code = clip_model.apply(
             variables, batch["images"],
             method=ClipWithRegionHead.encode_image_verbose)
         img_code = _l2n(img_code)
         regions = subr[:, 1:, :]                      # strip CLS token
 
-        words1, sent1 = text(batch["ids"], batch["mask"])
-        words2, sent2 = text(batch["ids_2"], batch["mask_2"])
+        # Both caption views ride ONE [2B] text-tower apply: the tower is
+        # LayerNorm-only (row-independent), so this is exact, and at these
+        # tiny sequence lengths (30 tokens) the doubled batch halves the
+        # per-op dispatch count and fattens the attention matmul tiles
+        # (the round-5 DAMSM trace shows the text side as ~1200 fragmented
+        # ops/step).  The reference runs two separate CLIP forwards
+        # (pretrain_DAMSM.py:114-115) — same math.
+        words12, sent12 = clip_model.apply(
+            variables,
+            jnp.concatenate([batch["ids"], batch["ids_2"]], axis=0),
+            jnp.concatenate([batch["mask"], batch["mask_2"]], axis=0),
+            method=ClipWithRegionHead.encode_text_verbose)
+        # the reference reads sentence embeddings from CLIPModel.forward,
+        # which l2-normalizes them (see models/clip.py)
+        words1, words2 = jnp.split(words12, 2, axis=0)
+        sent1, sent2 = jnp.split(_l2n(sent12), 2, axis=0)
         w1, m1 = strip_special_tokens(words1, batch["mask"])
         w2, m2 = strip_special_tokens(words2, batch["mask_2"])
 
@@ -147,12 +153,20 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
     clip_size = clip_model.cfg.image_size
     n_scales = len(d_models)
 
-    def encode_text(clip_params, ids, mask):
+    def encode_text_both(clip_params, batch):
+        # one [2B] text-tower apply for both caption views (row-independent
+        # LayerNorm tower — exact; halves the text-side dispatch count)
         words, sent = clip_model.apply(
-            {"params": clip_params}, ids, mask,
+            {"params": clip_params},
+            jnp.concatenate([batch["ids"], batch["ids_2"]], axis=0),
+            jnp.concatenate([batch["mask"], batch["mask_2"]], axis=0),
             method=ClipWithRegionHead.encode_text_verbose)
         # detached text conditioning (trainer.py:338)
-        return jax.lax.stop_gradient(words), jax.lax.stop_gradient(sent)
+        words = jax.lax.stop_gradient(words)
+        sent = jax.lax.stop_gradient(sent)
+        (w1, w2), (s1, s2) = (jnp.split(words, 2, axis=0),
+                              jnp.split(sent, 2, axis=0))
+        return w1, s1, w2, s2
 
     def generate(g_params, g_bstats, z, sent, words, pad_mask, eps):
         # return_attn=False: the memory read runs through the fused Pallas
@@ -171,9 +185,7 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
         eps1 = jax.random.normal(rng_e1, (b, cfg.GAN.CONDITION_DIM))
         eps2 = jax.random.normal(rng_e2, (b, cfg.GAN.CONDITION_DIM))
 
-        words1, sent1 = encode_text(clip_params, batch["ids"], batch["mask"])
-        words2, sent2 = encode_text(clip_params, batch["ids_2"],
-                                    batch["mask_2"])
+        words1, sent1, words2, sent2 = encode_text_both(clip_params, batch)
         pad1 = batch["mask"] == 0
         pad2 = batch["mask_2"] == 0
 
@@ -255,22 +267,29 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
                 for c, u in zip(jnp.split(cond, 2), jnp.split(uncond, 2)):
                     adv = adv + generator_adv_loss(c, u)
 
-            # DAMSM ranking loss on the finest scale (losses.py:329-364)
+            # DAMSM ranking loss on the finest scale (losses.py:329-364).
+            # Both views' fakes ride ONE [2B] CLIP vision apply (LayerNorm
+            # tower, row-independent — exact); the ranking losses are
+            # per-view (batching them would add cross-view negatives).
             cls = batch["class_ids"]
+            resized = resize_nearest(
+                jnp.concatenate([f1[-1], f2[-1]], axis=0), clip_size)
+            subr12, img12 = clip_model.apply(
+                {"params": clip_params}, resized,
+                method=ClipWithRegionHead.encode_image_verbose)
+            regions1, regions2 = jnp.split(subr12[:, 1:, :], 2, axis=0)
+            cnn1, cnn2 = jnp.split(img12, 2, axis=0)
 
-            def damsm_terms(fakes, words, mask, sent):
-                resized = resize_nearest(fakes[-1], clip_size)
-                subr, img_code = clip_model.apply(
-                    {"params": clip_params}, resized,
-                    method=ClipWithRegionHead.encode_image_verbose)
-                regions = subr[:, 1:, :]
+            def damsm_terms(regions, img_code, words, mask, sent):
                 wl0, wl1 = words_loss(regions, words, cls,
                                       mask > 0, g1, g2, g3)
                 sl0, sl1 = sent_loss(img_code, sent, cls, g3)
-                return (wl0 + wl1) * lam, (sl0 + sl1) * lam, img_code
+                return (wl0 + wl1) * lam, (sl0 + sl1) * lam
 
-            w_a, s_a, cnn1 = damsm_terms(f1, words1, batch["mask"], sent1)
-            w_b, s_b, cnn2 = damsm_terms(f2, words2, batch["mask_2"], sent2)
+            w_a, s_a = damsm_terms(regions1, cnn1, words1,
+                                   batch["mask"], sent1)
+            w_b, s_b = damsm_terms(regions2, cnn2, words2,
+                                   batch["mask_2"], sent2)
             kl = kl_loss(mu1g, lv1g) + kl_loss(mu2g, lv2g)
             contrast = 0.2 * nt_xent_loss(_l2n(cnn1), _l2n(cnn2), 0.5)
             total = adv + w_a + w_b + s_a + s_b + kl + contrast
