@@ -138,13 +138,19 @@ def _phase_conv2x2(x: jnp.ndarray, k2: jnp.ndarray) -> jnp.ndarray:
     whose backward is hand-written with KERNEL-side spatial flips.
 
     Why a custom VJP for a plain conv: XLA's autodiff emission for this
-    conv's input gradient reverses the [B, H+1, W+1, Co] COTANGENT
-    (`reverse` over dims {1,2} — a full 0.8 ms HBM pass per caption view
-    at the train tail's production shape, trace .profiles/train_r5_pt)
-    and then feeds the reversed tensor to the filter gradient too.  The
+    conv's gradients reverses the [B, H+1, W+1, Co] COTANGENT (`reverse`
+    over dims {1,2} — a full 0.8 ms HBM pass per caption view at the
+    train tail's production shape, trace .profiles/train_r5_pt).  The
     same math with the flip moved onto the [2, 2, Cin, Co] kernel is
     free.  Forward is byte-identical (same conv op); backward values are
-    identical convolutions, just lowered without the activation reversal.
+    identical convolutions (oracle-pinned in tests/test_phase_ops.py).
+
+    HONEST TPU OUTCOME (trace .profiles/train_r5b): the input gradient
+    lowers cleanly, but the TPU backend's canonicalization of the
+    FILTER-gradient conv (rhs = the [B, H+1, W+1, Co] cotangent)
+    re-introduces its own activation reverse — that 0.82 ms/view pass is
+    backend-imposed and survives this rewrite.  Kept because the dx path
+    and non-TPU backends do lower reverse-free, and the VJP is exact.
     """
     return jax.lax.conv_general_dilated(
         x, k2, (1, 1), ((1, 1), (1, 1)),
