@@ -119,17 +119,6 @@ class GanConfig:
     # 256^2-family on-op time fell 22.9 -> 2.3 ms/step).
     # T2IGAN_PHASED_TAIL_TRAIN=0/1 is the env A/B override.
     PHASED_TAIL_TRAIN: bool = True
-    # Rematerialize the adversarial step's big activation producers in the
-    # backward (jax.checkpoint): "off" | "g" (both G forwards) | "all"
-    # (G forwards + D trunk features + the [2B] G-adv trunk + the CLIP
-    # vision tower on fakes).  Motivation: the train step is HBM-bound
-    # (75.1 GB operand bytes vs a 30 ms FLOP floor at b16,
-    # docs/PERFORMANCE.md round 5), so recomputing forwards during the
-    # backward trades spare MXU FLOPs for saved-activation traffic.
-    # Numerically exact at f32; identical graph semantics
-    # (trainer.py:300-437) either way.  T2IGAN_REMAT is the env A/B
-    # override.  Default pending on-chip A/B.
-    REMAT: str = "off"
 
 
 @_frozen

@@ -34,7 +34,6 @@ TPU-first redesign notes:
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -153,14 +152,6 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
     nz = cfg.GAN.Z_DIM
     clip_size = clip_model.cfg.image_size
     n_scales = len(d_models)
-    # Remat lever (config.py GAN.REMAT): on an HBM-bound step, recomputing
-    # the forwards during the backward trades spare MXU FLOPs for the
-    # saved-activation round trips.  jax.checkpoint saves only the wrapped
-    # function's INPUTS; residuals are rebuilt at backward time, where they
-    # fuse into their consumers instead of streaming from HBM.
-    remat = os.environ.get("T2IGAN_REMAT", cfg.GAN.REMAT)
-    if remat not in ("off", "g", "all"):
-        raise ValueError(f"GAN.REMAT must be off|g|all, got {remat!r}")
 
     def encode_text_both(clip_params, batch):
         # one [2B] text-tower apply for both caption views (row-independent
@@ -186,9 +177,6 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
             z, sent, words, pad_mask, True, eps, False,
             mutable=["batch_stats"])
         return fakes, mu, logvar, upd["batch_stats"]
-
-    if remat in ("g", "all"):
-        generate = jax.checkpoint(generate)
 
     def step(state: GanTrainState, clip_params, batch, rng):
         b = batch["ids"].shape[0]
@@ -225,15 +213,9 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
 
                 def d_loss_fn(dp, i=i, model=model, real=real):
                     x = jnp.concatenate([real, fakes1[i], fakes2[i]], axis=0)
-
-                    def trunk(dp_, spec_, x_, model=model):
-                        return model.apply(
-                            {"params": dp_, "spectral": spec_},
-                            x_, method=model.features, mutable=["spectral"])
-
-                    if remat == "all":
-                        trunk = jax.checkpoint(trunk)
-                    h, upd = trunk(dp, state.d_spectral[i], x)
+                    h, upd = model.apply(
+                        {"params": dp, "spectral": state.d_spectral[i]},
+                        x, method=model.features, mutable=["spectral"])
                     h_r, h_f1, h_f2 = jnp.split(h, 3, axis=0)
 
                     def head(hc, c):
@@ -278,13 +260,8 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
                 model = d_models[i]
                 dv = {"params": new_d_params[i],
                       "spectral": new_d_spectral[i]}
-
-                def adv_trunk(dv_, x_, model=model):
-                    return model.apply(dv_, x_, method=model.features)
-
-                if remat == "all":
-                    adv_trunk = jax.checkpoint(adv_trunk)
-                h = adv_trunk(dv, jnp.concatenate([f1[i], f2[i]], axis=0))
+                h = model.apply(dv, jnp.concatenate([f1[i], f2[i]], axis=0),
+                                method=model.features)
                 cond = model.apply(dv, h, sent12, method=model.cond)
                 uncond = model.apply(dv, h, method=model.uncond)
                 for c, u in zip(jnp.split(cond, 2), jnp.split(uncond, 2)):
@@ -297,15 +274,9 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
             cls = batch["class_ids"]
             resized = resize_nearest(
                 jnp.concatenate([f1[-1], f2[-1]], axis=0), clip_size)
-
-            def vision_tower(cp_, imgs_):
-                return clip_model.apply(
-                    {"params": cp_}, imgs_,
-                    method=ClipWithRegionHead.encode_image_verbose)
-
-            if remat == "all":
-                vision_tower = jax.checkpoint(vision_tower)
-            subr12, img12 = vision_tower(clip_params, resized)
+            subr12, img12 = clip_model.apply(
+                {"params": clip_params}, resized,
+                method=ClipWithRegionHead.encode_image_verbose)
             regions1, regions2 = jnp.split(subr12[:, 1:, :], 2, axis=0)
             cnn1, cnn2 = jnp.split(img12, 2, axis=0)
 

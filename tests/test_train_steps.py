@@ -172,45 +172,6 @@ def test_gan_step_phased_tail_train_matches_default(gan_setup, monkeypatch):
                                    rtol=1e-4, atol=1e-5, err_msg=str(p0))
 
 
-@pytest.mark.parametrize("mode", ["g", "all"])
-def test_gan_step_remat_matches_default(gan_setup, monkeypatch, mode):
-    """GAN.REMAT only changes WHEN forwards are computed (residuals are
-    rebuilt during the backward instead of saved), not what is computed:
-    metrics and every updated state tensor must match the default step up
-    to recompilation-level float noise."""
-    clip_model, clip_vars, gen, ds, state, step = gan_setup
-    batch = _gan_batch(np.random.default_rng(5))
-    key = jax.random.PRNGKey(6)
-    s0, m0 = step(state, clip_vars["params"], batch, key)
-    monkeypatch.setenv("T2IGAN_REMAT", mode)
-    g_tx, d_tx = gan_optimizers(CFG)
-    step_r = jax.jit(make_gan_step(CFG, clip_model, gen, ds, g_tx, d_tx))
-    s1, m1 = step_r(state, clip_vars["params"], batch, key)
-    for k in m0:
-        np.testing.assert_allclose(float(m0[k]), float(m1[k]),
-                                   rtol=1e-4, atol=1e-5, err_msg=k)
-    for name, t0, t1 in (("g_params", s0.g_params, s1.g_params),
-                         ("g_batch_stats", s0.g_batch_stats,
-                          s1.g_batch_stats),
-                         ("d_params", s0.d_params, s1.d_params),
-                         ("d_spectral", s0.d_spectral, s1.d_spectral)):
-        for (p0, a), (p1, b) in zip(
-                jax.tree_util.tree_leaves_with_path(t0),
-                jax.tree_util.tree_leaves_with_path(t1)):
-            assert p0 == p1
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-5,
-                                       err_msg=f"{name}:{p0}")
-
-
-def test_gan_step_remat_rejects_unknown_mode(gan_setup, monkeypatch):
-    clip_model, clip_vars, gen, ds, state, step = gan_setup
-    monkeypatch.setenv("T2IGAN_REMAT", "everything")
-    g_tx, d_tx = gan_optimizers(CFG)
-    with pytest.raises(ValueError, match="REMAT"):
-        make_gan_step(CFG, clip_model, gen, ds, g_tx, d_tx)
-
-
 def test_gan_step_data_parallel(gan_setup):
     """The same step under a Mesh('data') with the batch sharded 8-ways."""
     _, clip_vars, _, _, state, step = gan_setup
