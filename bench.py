@@ -399,7 +399,7 @@ def bench_train(args):
         state, m = step(state, clip_vars["params"], batches[it % n_fix],
                         keys[it % len(keys)])
         it += 1
-    jax.block_until_ready(m)
+    jax.block_until_ready(state)
 
     def once():
         nonlocal state, it
@@ -643,7 +643,7 @@ def bench_damsm(args):
     }
     for _ in range(args.warmup):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+    jax.block_until_ready(state)
 
     def once():
         nonlocal state

@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_BF16_PEAK_TFLOPS = 394.0
+from bench import V5E_BF16_PEAK_TFLOPS  # single pinned constant (197, measured)
 
 
 def main():

@@ -27,9 +27,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_BF16_PEAK_TFLOPS = 394.0
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)

@@ -62,7 +62,6 @@ def main():
     else:
         clip_vars, state = init_all()
 
-    rng = np.random.default_rng(0)
     ids = np.full((b, 77), clip_cfg.eos_token_id, np.int32)
     batch = {
         "images": [jnp.zeros((b, s, s, 3), jnp.float32)
@@ -80,7 +79,8 @@ def main():
         ca = ca[0]
     flops = ca.get("flops", float("nan"))
     byts = ca.get("bytes accessed", float("nan"))
-    peak_tf = 197.0e12
+    from bench import V5E_BF16_PEAK_TFLOPS
+    peak_tf = V5E_BF16_PEAK_TFLOPS * 1e12
     hbm = 819.0e9  # v5e HBM bandwidth
     print(json.dumps({
         "batch": b, "dtype": args.dtype,
