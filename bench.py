@@ -348,10 +348,17 @@ def bench_train(args):
 
     cpu = _enable_cpu_fallback()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    # Fixture LRs are 10x below the production 2e-4: a GAN updated on
+    # random-noise images is a divergent system, and at 2e-4 the loss
+    # stream goes NaN inside a 200-iter timing window even over distinct
+    # batches.  The lr is a folded scalar in the Adam update — same HLO,
+    # same op count, same timing; only the logged losses stay readable.
     cfg = cfg_replace(Config(),
                       GAN={"GF_DIM": 64, "DF_DIM": 32, "R_NUM": 2},
                       TEXT={"EMBEDDING_DIM": 512, "WORDS_NUM": 77},
-                      TRAIN={"BATCH_SIZE": args.batch})
+                      TRAIN={"BATCH_SIZE": args.batch,
+                             "DISCRIMINATOR_LR": 2e-5,
+                             "GENERATOR_LR": 2e-5})
     clip_cfg = ClipConfig()
     clip_model = ClipWithRegionHead(clip_cfg, dtype=dtype)
     gen = build_generator(cfg, dtype=dtype)
@@ -378,21 +385,35 @@ def bench_train(args):
                    donate_argnums=(0,))
     b = args.batch
     rng = np.random.default_rng(0)
-    ids = np.full((b, 77), clip_cfg.eos_token_id, np.int32)
     # Cycle >=8 distinct synthetic batches + per-step noise keys: repeated
     # updates on ONE random batch with ONE key diverge to NaN after ~50
     # steps at production dims (fixture overfit, not a numerics bug —
-    # NOTES round 4 s2); distinct batches keep long timing windows finite
-    # so the logged loss stream stays readable.  Same compiled graph —
-    # this is host-side data only.
+    # NOTES round 4 s2).  Captions are distinct random token runs with a
+    # real EOS + pad mask rather than all-EOS degenerates, so the text
+    # tower and DAMSM terms see non-identical embeddings.  Same compiled
+    # graph — this is host-side data only.
     n_fix = 8
-    batches = [{
-        "images": [jnp.asarray(rng.standard_normal(
-            (b, s, s, 3)).astype(np.float32)) for s in (64, 128, 256)],
-        "ids": jnp.asarray(ids), "mask": jnp.ones((b, 77), jnp.int32),
-        "ids_2": jnp.asarray(ids), "mask_2": jnp.ones((b, 77), jnp.int32),
-        "class_ids": jnp.arange(b, dtype=jnp.int32),
-    } for _ in range(n_fix)]
+
+    def _captions():
+        length = 20
+        ids = np.full((b, 77), clip_cfg.eos_token_id, np.int32)
+        ids[:, :length] = rng.integers(
+            1, clip_cfg.eos_token_id - 1, (b, length), dtype=np.int32)
+        mask = np.zeros((b, 77), np.int32)
+        mask[:, :length + 1] = 1
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def _fixture_batch():
+        ids, mask = _captions()
+        ids2, mask2 = _captions()
+        return {
+            "images": [jnp.asarray(rng.standard_normal(
+                (b, s, s, 3)).astype(np.float32)) for s in (64, 128, 256)],
+            "ids": ids, "mask": mask, "ids_2": ids2, "mask_2": mask2,
+            "class_ids": jnp.arange(b, dtype=jnp.int32),
+        }
+
+    batches = [_fixture_batch() for _ in range(n_fix)]
     keys = list(jax.random.split(jax.random.PRNGKey(2), 4096))
     it = 0
     for _ in range(args.warmup):
@@ -413,8 +434,19 @@ def bench_train(args):
         state, m = step(state, clip_vars["params"], batches[it % n_fix],
                         keys[it % len(keys)])
         it += 1
-    jax.device_get(m)  # MATERIALIZING fence — see _maybe_trace's docstring
+    vals = jax.device_get(m)  # MATERIALIZING fence — see _maybe_trace
     dt = time.perf_counter() - t0
+    # Fixture health: the timing loop cycles 8 distinct synthetic batches
+    # precisely so long windows keep finite losses (a single repeated
+    # batch diverged to NaN after ~50 updates at production dims — NOTES
+    # round 4 s2).  Print the evidence with every run.
+    finite = {k: float(v) for k, v in vals.items()
+              if k in ("g_loss", "d_loss0", "d_loss1", "d_loss2")}
+    print(json.dumps({
+        "metric": f"train losses after {args.warmup + args.iters} updates",
+        "values": finite,
+        "all_finite": bool(all(np.isfinite(list(finite.values())))),
+    }), flush=True)
     return args.iters / dt  # steps/sec
 
 

@@ -264,8 +264,17 @@ def make_gan_step(cfg: Config, clip_model: ClipWithRegionHead, gen_model,
                                 method=model.features)
                 cond = model.apply(dv, h, sent12, method=model.cond)
                 uncond = model.apply(dv, h, method=model.uncond)
-                for c, u in zip(jnp.split(cond, 2), jnp.split(uncond, 2)):
-                    adv = adv + generator_adv_loss(c, u)
+                # Both views' BCE means in ONE call over the [2B] logits:
+                # mean(half1) + mean(half2) == 2 * mean(all) exactly (equal
+                # halves), so this is the reference's per-view sum
+                # (losses.py:314-324, both views).  Deliberately NOT a
+                # per-view split loop: `split -> two means -> sum` makes the
+                # axon TPU backend miscompile the trunk's INPUT-gradient
+                # convs into all-NaN output (deterministic, both dtypes,
+                # forward unaffected; minimal repro + elimination table in
+                # docs/PERFORMANCE.md round 5 "the NaN hunt").  XLA:CPU
+                # compiles the split form correctly.
+                adv = adv + 2.0 * generator_adv_loss(cond, uncond)
 
             # DAMSM ranking loss on the finest scale (losses.py:329-364).
             # Both views' fakes ride ONE [2B] CLIP vision apply (LayerNorm
